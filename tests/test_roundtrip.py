@@ -1,0 +1,61 @@
+"""End-to-end round-trip tests: the format's correctness oracle.
+
+The reference's implicit methodology (SURVEY.md section 4): compress,
+decompress, byte-compare.  These run with a tiny block size on the CPU
+backend for speed; bench.py exercises the default config on real TPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from cmix_tpu.engine import EngineConfig
+from cmix_tpu.runner import compress, decompress
+
+CFG = EngineConfig(block_size=2048, tbits=14, mbits=14, ibits=12)
+
+
+def _roundtrip(data: bytes):
+    arch = compress(data, CFG)
+    back = decompress(arch)
+    assert back == data
+    return arch
+
+
+def test_empty():
+    _roundtrip(b"")
+
+
+def test_one_byte():
+    _roundtrip(b"A")
+
+
+def test_text_compresses():
+    with open("/root/reference/COPYING", "rb") as f:
+        data = f.read()[:6000]
+    arch = _roundtrip(data)
+    assert len(arch) < len(data) * 0.6          # sanity ratio on English text
+
+
+def test_repetitive():
+    data = b"abcabcabc" * 500
+    arch = _roundtrip(data)
+    assert len(arch) < len(data) * 0.1
+
+
+def test_random_incompressible():
+    data = np.random.RandomState(7).bytes(3000)
+    arch = _roundtrip(data)
+    assert len(arch) < len(data) + 200          # raw fallback bounds blowup
+
+
+def test_multi_block():
+    with open("/root/reference/COPYING", "rb") as f:
+        data = f.read()[:7000]                  # spans 4 blocks of 2048
+    _roundtrip(data)
+
+
+def test_all_byte_values():
+    data = bytes(range(256)) * 10
+    _roundtrip(data)
