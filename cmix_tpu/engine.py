@@ -43,6 +43,8 @@ from cmix_tpu.contexts.hashes import (
 from cmix_tpu.states.tables import (
     NS_NEXT, NS_INIT_P12, RUN_NEXT, RUN_INIT_P12)
 from cmix_tpu.utils.luts import SQUASH_LUT, STRETCH_LUT, RECIP16_LUT, ST_MAX
+from cmix_tpu.mixer.lstm import (
+    LstmConfig, init_lstm, lstm_bit_p12, lstm_byte_update)
 
 MODE_ENCODE = 0
 MODE_DECODE = 1
@@ -60,15 +62,18 @@ _BANK_TRANS[20] = 1  # run model over order-2
 MATCH_ORDERS = (8, 20)
 N_MATCH = len(MATCH_ORDERS)
 N_DIRECT = 2
-N_INPUTS = N_BANK + N_DIRECT + N_MATCH  # mixer layer-1 input width
 
 _MIX1_ROWS = np.array([1, 256, 256, 1024, 64, 256, 256, 64], dtype=np.int64)
 N_MIX1 = len(_MIX1_ROWS)
 _MIX1_OFF = np.concatenate([[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
 _MIX1_TOTAL = int(_MIX1_ROWS.sum())
 
-_W_INIT1 = 4096 // N_INPUTS   # 1.12 fixed point, init to uniform average
 _W_INIT2 = 4096 // N_MIX1
+
+
+def n_inputs(cfg):
+    """Mixer layer-1 input width (depends on whether the LSTM is on)."""
+    return N_BANK + N_DIRECT + N_MATCH + (1 if cfg.lstm_hidden else 0)
 
 LR_SHIFT = 14       # mixer learning rate: dw = (st * err) >> LR_SHIFT
 APM_RATE = 6        # SSE node update rate
@@ -81,6 +86,7 @@ class EngineConfig:
     tbits: int = 18             # log2 slots per bank model
     mbits: int = 18             # log2 slots per match table
     ibits: int = 16             # log2 slots of indirect-hash table
+    lstm_hidden: int = 256      # 0 disables the LSTM byte mixer
 
     @property
     def comp_size(self):
@@ -97,7 +103,7 @@ def init_state(cfg: EngineConfig):
     """Fresh per-block model state (unbatched). All-int pytree."""
     tsize = 1 << cfg.tbits
     init_p = np.stack([NS_INIT_P12, RUN_INIT_P12])[_BANK_TRANS]  # (NM,256)
-    return {
+    st = {
         "ctx": init_ctx_state(),
         "ind_tbl": jnp.zeros(1 << cfg.ibits, dtype=jnp.uint32),
         "ind_val": jnp.zeros((), dtype=jnp.uint32),
@@ -112,13 +118,17 @@ def init_state(cfg: EngineConfig):
         "match_ptr": jnp.zeros(N_MATCH, dtype=jnp.int32),
         "match_len": jnp.zeros(N_MATCH, dtype=jnp.int32),
         "match_conf": jnp.full((N_MATCH, 32), 2048, dtype=jnp.int32),
-        "w1": jnp.full((_MIX1_TOTAL, N_INPUTS), _W_INIT1, dtype=jnp.int32),
+        "w1": jnp.full((_MIX1_TOTAL, n_inputs(cfg)), 4096 // n_inputs(cfg),
+                       dtype=jnp.int32),
         "w2": jnp.full((256, N_MIX1), _W_INIT2, dtype=jnp.int32),
         "apm1": _apm_init(256),
         "apm2": _apm_init(64),
         "hist": jnp.zeros(cfg.block_size, dtype=jnp.uint8),
         "t": jnp.zeros((), dtype=jnp.int32),
     }
+    if cfg.lstm_hidden:
+        st["lstm"] = init_lstm(LstmConfig(hidden=cfg.lstm_hidden))
+    return st
 
 
 def _apm_init(nctx):
@@ -133,9 +143,8 @@ def init_coder(cfg: EngineConfig):
         "x1": jnp.zeros((), dtype=jnp.uint32),
         "x2": M32,
         "xc": jnp.zeros((), dtype=jnp.uint32),
-        "wptr": jnp.zeros((), dtype=jnp.int32),
+        "total": jnp.zeros((), dtype=jnp.int32),   # bytes emitted so far
         "rptr": jnp.zeros((), dtype=jnp.int32),
-        "out": jnp.zeros(cfg.comp_size, dtype=jnp.uint8),
     }
 
 
@@ -251,7 +260,7 @@ def _coder_bit(cd, comp, enc_bit, p16, mode):
     x1 = jnp.where(bit == 1, x1, xmid + jnp.uint32(1))
     x2 = jnp.where(bit == 1, xmid, x2)
 
-    wptr, rptr = cd["wptr"], cd["rptr"]
+    rptr = cd["rptr"]
     nlen = comp.shape[0]
     emit = []
     k = jnp.zeros((), jnp.int32)
@@ -264,10 +273,8 @@ def _coder_bit(cd, comp, enc_bit, p16, mode):
         xc = jnp.where(cond, (xc << U8) | nb, xc)
         rptr = rptr + cond.astype(jnp.int32)
         k = k + cond.astype(jnp.int32)
-    out = jax.lax.dynamic_update_slice(cd["out"], jnp.stack(emit), (wptr,))
-    cd = dict(cd, x1=x1, x2=x2, xc=xc, out=out,
-              wptr=wptr + k, rptr=rptr)
-    return cd, bit
+    cd = dict(cd, x1=x1, x2=x2, xc=xc, total=cd["total"] + k, rptr=rptr)
+    return cd, bit, jnp.stack(emit), k
 
 
 # ----------------------------------------------------------------- bit step
@@ -309,11 +316,15 @@ def _predict(cfg, state, bases, byte_acc, k):
     st_conf = _stretch(conf)
     st_match = jnp.where(alive, jnp.where(exp_bit == 1, st_conf, -st_conf), 0)
 
-    x_st = jnp.concatenate([
+    parts = [
         _stretch(p_bank),
         jnp.stack([_stretch(p_d0), _stretch(p_d1)]),
         st_match,
-    ])
+    ]
+    if cfg.lstm_hidden:
+        p_lstm = lstm_bit_p12(state["lstm"], bc, k)
+        parts.append(_stretch(p_lstm)[None])
+    x_st = jnp.concatenate(parts)
 
     longest = (jnp.max(jnp.where(alive, lenb, 0)) * 2
                + jnp.max(jnp.where(alive, exp_bit, 0)))
@@ -422,12 +433,23 @@ def make_byte_step(cfg: EngineConfig):
         bases = _bank_bases(state["ctx"], state["ind_val"])
 
         byte_acc = jnp.ones((), jnp.int32)
+        emits, c32 = [], jnp.zeros((), jnp.uint32)
         for k in range(8):
             p16, aux = _predict(cfg, state, bases, byte_acc, k)
             enc_bit = ((inp_byte.astype(jnp.int32) >> (7 - k)) & 1)
-            cd, bit = _coder_bit(cd, comp, enc_bit, p16, mode)
+            cd, bit, emit4, kk = _coder_bit(cd, comp, enc_bit, p16, mode)
+            # pack the <=4 emitted bytes into one uint32 word and the count
+            # into a nibble: flat uint32 ys keep XLA's scan lowering fast
+            # (multi-dim uint8 ys trigger a pathological CPU compile).
+            e32 = (emit4[0].astype(jnp.uint32) << jnp.uint32(24))                 | (emit4[1].astype(jnp.uint32) << jnp.uint32(16))                 | (emit4[2].astype(jnp.uint32) << U8)                 | emit4[3].astype(jnp.uint32)
+            emits.append(e32)
+            c32 = c32 | (kk.astype(jnp.uint32) << jnp.uint32(4 * k))
             state = _update(state, aux, bit)
             byte_acc = byte_acc * 2 + bit
+        # ys as a flat tuple of scalars: under vmap each becomes (B,), the
+        # only scan-output shape XLA-CPU handles without a pathological
+        # layout pass (a (B,8) ys compiles 100x slower).
+        ys = tuple(emits) + (c32,)
 
         byte = byte_acc & 255
         state["hist"] = jax.lax.dynamic_update_slice(
@@ -442,8 +464,11 @@ def make_byte_step(cfg: EngineConfig):
         state["ind_val"] = state["ind_tbl"][ind_key_new]
 
         state = _match_byte_update(cfg, state, byte, t)
+        if cfg.lstm_hidden:
+            state["lstm"] = lstm_byte_update(
+                LstmConfig(hidden=cfg.lstm_hidden), state["lstm"], byte)
         state["t"] = t + 1
-        return (state, cd, comp, mode), None
+        return (state, cd, comp, mode), ys
 
     return byte_step
 
@@ -451,35 +476,101 @@ def make_byte_step(cfg: EngineConfig):
 # --------------------------------------------------------------- transcoder
 
 
-def make_transcoder(cfg: EngineConfig):
-    """Returns jitted batched ``transcode(state, inp, comp, mode)``.
+def make_transcode_fn(cfg: EngineConfig):
+    """Unjitted batched scan stage ``(state, inp, comp, mode) -> ...``.
 
-    encode: inp = padded input bytes (B, N) uint8, comp = zeros.
-            returns (hist, out_buf, out_len): out_buf[:out_len] is the
-            compressed stream (already flushed).
-    decode: comp = compressed streams (B, comp_size) uint8, inp = zeros.
-            returns hist = decoded bytes (B, N).
+    Returns (hist, e32, c32, total, x1): packed per-bit emission words to
+    be compacted by ``make_compactor``.  Kept as a separate stage because
+    XLA-CPU mis-schedules the fused scan+compaction (runs 1000x slow);
+    two executables also let the compaction overlap the next batch later.
+
+    The loop structure is scan-over-time of a vmapped step (NOT
+    vmap-of-scan, which lowers pathologically slowly), so the batch axis
+    stays innermost where XLA batches the gathers/scatters.
     """
     step = make_byte_step(cfg)
 
-    def transcode_one(state, inp, comp, mode):
-        cd = init_coder(cfg)
-        # prime the decoder with 4 bytes (cf. src/coder/decoder.cpp:5-7)
-        xc = (comp[0].astype(jnp.uint32) << jnp.uint32(24)) \
-            | (comp[1].astype(jnp.uint32) << jnp.uint32(16)) \
-            | (comp[2].astype(jnp.uint32) << U8) \
-            | comp[3].astype(jnp.uint32)
-        cd["xc"] = jnp.where(mode == MODE_DECODE, xc, cd["xc"])
-        cd["rptr"] = jnp.where(mode == MODE_DECODE, 4, 0)
-        carry = (state, cd, comp, mode)
-        (state, cd, _, _), _ = jax.lax.scan(
-            step, carry, inp, length=cfg.block_size)
-        x1 = cd["x1"]
-        flush = jnp.stack([(x1 >> jnp.uint32(24 - 8 * i)).astype(jnp.uint8)
-                           for i in range(4)])
-        out = jax.lax.dynamic_update_slice(cd["out"], flush, (cd["wptr"],))
-        out_len = cd["wptr"] + 4
-        return state["hist"], out, out_len
+    def vstep(state, cd, comp, byte_b, mode):
+        (state, cd, _, _), ys = step((state, cd, comp, mode), byte_b)
+        return state, cd, ys
 
-    batched = jax.vmap(transcode_one, in_axes=(0, 0, 0, None))
-    return jax.jit(batched, donate_argnums=(0,))
+    vstep = jax.vmap(vstep, in_axes=(0, 0, 0, 0, None))
+
+    def transcode(state, inp, comp, mode):
+        b = inp.shape[0]
+        cd = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (b,) + x.shape),
+            init_coder(cfg))
+        # prime the decoder with 4 bytes (cf. src/coder/decoder.cpp:5-7)
+        xc = (comp[:, 0].astype(jnp.uint32) << jnp.uint32(24)) \
+            | (comp[:, 1].astype(jnp.uint32) << jnp.uint32(16)) \
+            | (comp[:, 2].astype(jnp.uint32) << U8) \
+            | comp[:, 3].astype(jnp.uint32)
+        cd = dict(cd)
+        cd["xc"] = jnp.where(mode == MODE_DECODE, xc, cd["xc"])
+        cd["rptr"] = jnp.where(mode == MODE_DECODE,
+                               jnp.full(b, 4, jnp.int32), cd["rptr"])
+
+        def body(carry, byte_b):
+            state, cd = carry
+            state, cd, ys = vstep(state, cd, comp, byte_b, mode)
+            return (state, cd), ys
+
+        (state, cd), ys = jax.lax.scan(
+            body, (state, cd), jnp.transpose(inp), length=cfg.block_size)
+        e32 = jnp.stack(ys[:8], axis=-1)     # (N, B, 8)
+        c32 = ys[8]                          # (N, B)
+        return state["hist"], e32, c32, cd["total"], cd["x1"]
+
+    return transcode
+
+
+def make_compactor(cfg: EngineConfig):
+    """Unjitted ``(e32, c32, total, x1) -> (out, out_len)``: compacts the
+    packed per-bit emission words into contiguous compressed streams with
+    one exclusive cumsum + one scatter per block, and appends the 4-byte
+    flush of x1 (cf. src/coder/encoder.cpp:32-39)."""
+
+    def compact(e32, c32, total, x1):
+        n = cfg.block_size
+        b = e32.shape[1]
+        flush = jnp.stack([(x1 >> jnp.uint32(24 - 8 * i)).astype(jnp.uint8)
+                           for i in range(4)], axis=-1)       # (B, 4)
+        kidx = jnp.arange(8, dtype=jnp.uint32)
+        cnts = ((c32[:, :, None] >> (4 * kidx)[None, None, :])
+                & jnp.uint32(0xF)).astype(jnp.int32)          # (N, B, 8)
+        cnts_t = jnp.transpose(cnts, (1, 0, 2)).reshape(b, n * 8)
+        offs = jnp.cumsum(cnts_t, axis=1) - cnts_t            # (B, N*8)
+        e_t = jnp.transpose(e32, (1, 0, 2)).reshape(b, n * 8)
+        j = jnp.arange(4, dtype=jnp.int32)
+        vals = ((e_t[:, :, None]
+                 >> (jnp.uint32(24) - 8 * j.astype(jnp.uint32))[None, None, :])
+                & jnp.uint32(0xFF)).astype(jnp.uint8)          # (B, N*8, 4)
+        pos = offs[:, :, None] + j[None, None, :]
+        valid = j[None, None, :] < cnts_t[:, :, None]
+        pos = jnp.where(valid, pos, cfg.comp_size).reshape(b, n * 32)
+        vals = vals.reshape(b, n * 32)
+        fpos = total[:, None] + j[None, :]                     # (B, 4)
+        allpos = jnp.concatenate([pos, fpos], axis=1)
+        allvals = jnp.concatenate([vals, flush], axis=1)
+
+        def scatter_one(p, v):
+            buf = jnp.zeros(cfg.comp_size + 1, dtype=jnp.uint8)
+            return buf.at[p].set(v, mode="drop")[:cfg.comp_size]
+
+        return jax.vmap(scatter_one)(allpos, allvals), total + 4
+
+    return compact
+
+
+def make_transcoder(cfg: EngineConfig):
+    """Jitted two-stage transcoder: returns (hist, out, out_len)."""
+    scan_fn = jax.jit(make_transcode_fn(cfg), donate_argnums=(0,))
+    compact_fn = jax.jit(make_compactor(cfg), donate_argnums=(0, 1))
+
+    def transcode(state, inp, comp, mode):
+        hist, e32, c32, total, x1 = scan_fn(state, inp, comp, mode)
+        out, out_len = compact_fn(e32, c32, total, x1)
+        return hist, out, out_len
+
+    return transcode

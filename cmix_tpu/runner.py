@@ -83,8 +83,8 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
                 streams.append((False, bytes(out[i, :L].tobytes())))
 
     header = MAGIC + struct.pack(
-        "<BBBBBBQI", FORMAT_VERSION, 0, cfg.block_size.bit_length() - 1,
-        cfg.tbits, cfg.mbits, cfg.ibits, len(data), nb)
+        "<BBBBBBHQI", FORMAT_VERSION, 0, cfg.block_size.bit_length() - 1,
+        cfg.tbits, cfg.mbits, cfg.ibits, cfg.lstm_hidden, len(data), nb)
     lens = b"".join(
         struct.pack("<I", (len(s) | (_RAW_FLAG if raw else 0)))
         for raw, s in streams)
@@ -93,12 +93,12 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
 
 def decompress(archive: bytes, max_batch: int = 64) -> bytes:
     assert archive[:4] == MAGIC, "bad magic"
-    (ver, _flags, log_bs, tbits, mbits, ibits, orig_len, nb) = struct.unpack(
-        "<BBBBBBQI", archive[4:4 + 18])
+    (ver, _flags, log_bs, tbits, mbits, ibits, lstm_hidden, orig_len,
+     nb) = struct.unpack("<BBBBBBHQI", archive[4:4 + 20])
     assert ver == FORMAT_VERSION, f"format version {ver} unsupported"
     cfg = EngineConfig(block_size=1 << log_bs, tbits=tbits, mbits=mbits,
-                       ibits=ibits)
-    off = 4 + 18
+                       ibits=ibits, lstm_hidden=lstm_hidden)
+    off = 4 + 20
     lens = struct.unpack("<" + "I" * nb, archive[off:off + 4 * nb])
     off += 4 * nb
     streams = []

@@ -1,12 +1,18 @@
-"""Test harness: force an 8-virtual-device CPU platform before jax imports.
+"""Test harness: force an 8-virtual-device CPU platform.
 
 Mirrors SURVEY.md section 4's plan: multi-chip behavior is validated on a
-virtual CPU mesh; real-TPU runs happen in bench.py.
+virtual CPU mesh; real-TPU runs happen in bench.py.  The axon
+sitecustomize imports jax at interpreter start, so the env var alone is
+latched -- update the live config too (before any backend is created).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -13,7 +13,7 @@ import pytest
 from cmix_tpu.engine import EngineConfig
 from cmix_tpu.runner import compress, decompress
 
-CFG = EngineConfig(block_size=2048, tbits=14, mbits=14, ibits=12)
+CFG = EngineConfig(block_size=2048, tbits=14, mbits=14, ibits=12, lstm_hidden=0)
 
 
 def _roundtrip(data: bytes):
@@ -59,3 +59,12 @@ def test_multi_block():
 def test_all_byte_values():
     data = bytes(range(256)) * 10
     _roundtrip(data)
+
+
+def test_lstm_roundtrip():
+    cfg = EngineConfig(block_size=1024, tbits=12, mbits=12, ibits=10,
+                       lstm_hidden=64)
+    with open("/root/reference/COPYING", "rb") as f:
+        data = f.read()[:2000]
+    arch = compress(data, cfg)
+    assert decompress(arch) == data
