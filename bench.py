@@ -1,0 +1,116 @@
+"""Benchmark: encode+decode throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the measured reference cmix v21 on this repo's
+corpus (work/baseline_measured.json: ~0.000123 MB/s combined enc+dec on
+text100k, single CPU thread -- cmix has no parallelism, SURVEY.md 2.8).
+
+Diagnostics (ratio, roundtrip, compile time) go to stderr; stdout carries
+only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_corpus(mb=4):
+    parts = []
+    for p in ("/root/repo/testdata/text100k.raw",
+              "/root/repo/testdata/dict100k.raw",
+              "/root/repo/testdata/exe100k.raw"):
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                parts.append(f.read())
+    blob = b"".join(parts)
+    if not blob:
+        blob = bytes(range(256)) * 4096
+    need = mb << 20
+    return (blob * (need // len(blob) + 1))[:need]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cmix_tpu.engine import EngineConfig, MODE_ENCODE, MODE_DECODE
+    from cmix_tpu.runner import get_transcoder, _batched_state, _split_blocks
+
+    log(f"devices: {jax.devices()}")
+    cfg = EngineConfig(block_size=1 << 16, tbits=16, mbits=16, ibits=14,
+                       lstm_hidden=256)
+    data = build_corpus(mb=4)
+    blocks = _split_blocks(data, cfg.block_size)
+    b = blocks.shape[0]
+    trans = get_transcoder(cfg)
+    comp0 = jnp.zeros((b, cfg.comp_size), dtype=jnp.uint8)
+    inp = jnp.asarray(blocks)
+
+    # --- encode (first call compiles)
+    t0 = time.time()
+    state = _batched_state(cfg, b)
+    hist, out, out_len = trans(state, inp, comp0, jnp.int32(MODE_ENCODE))
+    out = np.asarray(out)
+    out_len = np.asarray(out_len)
+    t_compile_enc = time.time() - t0
+    log(f"encode compile+first: {t_compile_enc:.1f}s")
+
+    state = _batched_state(cfg, b)
+    t0 = time.time()
+    hist, out_j, len_j = trans(state, inp, comp0, jnp.int32(MODE_ENCODE))
+    out = np.asarray(out_j)
+    out_len = np.asarray(len_j)
+    enc_s = time.time() - t0
+    comp_bytes = int(out_len.sum())
+    mb = len(data) / (1 << 20)
+    bpb = 8.0 * comp_bytes / len(data)
+    log(f"encode: {enc_s:.2f}s  {mb / enc_s:.3f} MB/s  bpb={bpb:.3f}")
+
+    # --- decode
+    comp = np.zeros((b, cfg.comp_size), dtype=np.uint8)
+    for i in range(b):
+        comp[i, :out_len[i]] = out[i, :out_len[i]]
+    state = _batched_state(cfg, b)
+    inp0 = jnp.zeros((b, cfg.block_size), dtype=jnp.uint8)
+    compj = jnp.asarray(comp)
+    t0 = time.time()
+    hist2, _, _ = trans(state, inp0, compj, jnp.int32(MODE_DECODE))
+    hist2 = np.asarray(hist2)
+    dec_first = time.time() - t0
+    log(f"decode first: {dec_first:.2f}s")
+    ok = np.array_equal(hist2, blocks)
+    log(f"roundtrip: {ok}")
+
+    state = _batched_state(cfg, b)
+    t0 = time.time()
+    hist2, _, _ = trans(state, inp0, compj, jnp.int32(MODE_DECODE))
+    hist2 = np.asarray(hist2)
+    dec_s = time.time() - t0
+    log(f"decode: {dec_s:.2f}s  {mb / dec_s:.3f} MB/s")
+
+    if not ok:
+        print(json.dumps({"metric": "encode+decode MB/s/chip",
+                          "value": 0.0, "unit": "MB/s",
+                          "vs_baseline": 0.0}))
+        return
+
+    value = 2 * mb / (enc_s + dec_s)
+    baseline = 0.000123  # measured cmix combined enc+dec MB/s (text100k)
+    print(json.dumps({
+        "metric": "encode+decode MB/s/chip (4MB mixed corpus, "
+                  f"bpb={bpb:.3f}, roundtrip ok)",
+        "value": round(value, 4),
+        "unit": "MB/s",
+        "vs_baseline": round(value / baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""WRT dictionary transform + filetype detection (native C++ with ctypes).
+
+Host-side preprocessing layer, capability parity with the reference
+(src/preprocess/dictionary.cpp word->codeword transform, and
+src/preprocess/preprocessor.cpp:146-175 text detection).  Runs once per
+stream on the host -- it is sequential and cheap (SURVEY.md section 7
+step 8); the compute path stays on-device.
+
+The C++ library (native/preproc.cpp) is built on demand; a pure-Python
+fallback implements the identical scheme for environments without a
+toolchain (bit-identical output, tested).
+"""
+
+import ctypes
+import os
+import subprocess
+
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), os.pardir, os.pardir, "native"))
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libpreproc.so")
+
+ESC, CAP, UPR = 0x04, 0x05, 0x06
+N1, N2 = 64, 48 * 256
+
+
+def _build_native():
+    src = os.path.join(_NATIVE_DIR, "preproc.cpp")
+    if not os.path.exists(src):
+        return None
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH, src],
+            check=True, capture_output=True)
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def _load_native():
+    if not os.path.exists(_LIB_PATH) and _build_native() is None:
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.wrt_load_dict.restype = ctypes.c_void_p
+    lib.wrt_load_dict.argtypes = [ctypes.c_char_p]
+    lib.wrt_free_dict.argtypes = [ctypes.c_void_p]
+    lib.wrt_dict_size.restype = ctypes.c_int32
+    lib.wrt_dict_size.argtypes = [ctypes.c_void_p]
+    for fn in (lib.wrt_encode, lib.wrt_decode):
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                       ctypes.c_char_p, ctypes.c_int64]
+    lib.detect_chunks.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_char_p]
+    return lib
+
+
+_LIB = _load_native()
+
+
+class Dictionary:
+    """Word dictionary for the WRT transform (frequency-ordered word list,
+    one word per line, like the reference's english.dic asset)."""
+
+    def __init__(self, path):
+        self.path = path
+        self._handle = None
+        if _LIB is not None:
+            self._handle = _LIB.wrt_load_dict(path.encode())
+        # python-side tables (fallback + decode sanity)
+        self.words = []
+        self.ids = {}
+        with open(path, "rb") as f:
+            for line in f:
+                w = line.strip().decode("latin-1")
+                if w and w not in self.ids:
+                    self.ids[w] = len(self.words)
+                    self.words.append(w)
+
+    def __del__(self):
+        if self._handle and _LIB is not None:
+            _LIB.wrt_free_dict(self._handle)
+
+    # ------------------------------------------------------------- native
+    def encode(self, data: bytes) -> bytes:
+        if self._handle:
+            cap = 2 * len(data) + 1024
+            out = ctypes.create_string_buffer(cap)
+            n = _LIB.wrt_encode(self._handle, data, len(data), out, cap)
+            if n >= 0:
+                return out.raw[:n]
+        return self._encode_py(data)
+
+    def decode(self, data: bytes) -> bytes:
+        if self._handle:
+            cap = 8 * len(data) + 1024
+            out = ctypes.create_string_buffer(cap)
+            n = _LIB.wrt_decode(self._handle, data, len(data), out, cap)
+            if n >= 0:
+                return out.raw[:n]
+        return self._decode_py(data)
+
+    # ------------------------------------------------------- python twin
+    def _emit_code(self, o, i):
+        if i < N1:
+            o.append(0x80 + i)
+        elif i < N1 + N2:
+            v = i - N1
+            o += bytes([0xC0 + (v >> 8), v & 0xFF])
+        else:
+            v = i - N1 - N2
+            o += bytes([0xF0 + (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+
+    def _encode_py(self, data: bytes) -> bytes:
+        o = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            c = data[i]
+            if (65 <= c <= 90) or (97 <= c <= 122):
+                j = i
+                while j < n and (65 <= data[j] <= 90 or 97 <= data[j] <= 122):
+                    j += 1
+                w = data[i:j].decode("latin-1")
+                lw = w.lower()
+                wid = self.ids.get(lw)
+                is_lower = w == lw
+                is_cap = w[0].isupper() and w[1:] == lw[1:]
+                is_upper = w.isupper() and len(w) > 1
+                if wid is not None and (is_lower or is_cap or is_upper):
+                    if is_upper:
+                        o.append(UPR)
+                    elif is_cap:
+                        o.append(CAP)
+                    self._emit_code(o, wid)
+                else:
+                    o += data[i:j]
+                i = j
+            elif c >= 0x80 or c in (ESC, CAP, UPR):
+                o += bytes([ESC, c])
+                i += 1
+            else:
+                o.append(c)
+                i += 1
+        return bytes(o)
+
+    def _decode_py(self, data: bytes) -> bytes:
+        o = bytearray()
+        i, n = 0, len(data)
+        capmode = 0
+        while i < n:
+            c = data[i]
+            if c == ESC and i + 1 < n:
+                o.append(data[i + 1])
+                i += 2
+                capmode = 0
+                continue
+            if c == CAP:
+                capmode = 1
+                i += 1
+                continue
+            if c == UPR:
+                capmode = 2
+                i += 1
+                continue
+            if c < 0x80:
+                o.append(c)
+                i += 1
+                capmode = 0
+                continue
+            if c < 0xC0:
+                wid = c - 0x80
+                i += 1
+            elif c < 0xF0:
+                if i + 1 >= n:
+                    o.append(c)
+                    i += 1
+                    continue
+                wid = N1 + ((c - 0xC0) << 8 | data[i + 1])
+                i += 2
+            else:
+                if i + 2 >= n:
+                    o.append(c)
+                    i += 1
+                    continue
+                wid = N1 + N2 + ((c - 0xF0) << 16
+                                 | data[i + 1] << 8 | data[i + 2])
+                i += 3
+            if 0 <= wid < len(self.words):
+                w = self.words[wid]
+                if capmode == 1:
+                    w = w[0].upper() + w[1:]
+                elif capmode == 2:
+                    w = w.upper()
+                o += w.encode("latin-1")
+            capmode = 0
+        return bytes(o)
+
+
+def detect_text_chunks(data: bytes, chunk: int = 4096):
+    """Per-chunk text/binary classification (1=text)."""
+    import numpy as np
+    nc = max(1, -(-len(data) // chunk))
+    if _LIB is not None:
+        out = ctypes.create_string_buffer(nc)
+        _LIB.detect_chunks(data, len(data), chunk, out)
+        return np.frombuffer(out.raw, dtype=np.uint8).copy()
+    arr = np.frombuffer(data, dtype=np.uint8)
+    types = np.zeros(nc, dtype=np.uint8)
+    for c in range(nc):
+        seg = arr[c * chunk:(c + 1) * chunk]
+        printable = ((seg == 9) | (seg == 10) | (seg == 13)
+                     | ((seg >= 32) & (seg < 127))).sum()
+        types[c] = 1 if printable * 100 >= len(seg) * 90 else 0
+    return types

@@ -1,22 +1,31 @@
 """Archive container + compress/decompress drivers + CLI.
 
 Capability parity with the reference CLI runner (src/runner.cpp:270-330):
-modes compress/decompress, archive header with original length
-(runner.cpp:34-86), stored-block fallback (runner.cpp:96-99 `-s` / store
-path), and the cross-entropy report (runner.cpp:322-327).  TPU-first
-difference: the input is split into fixed-size blocks that are compressed
-*in parallel* as a batch (the reference is strictly single-stream).
+compress/decompress modes with optional dictionary (`-c [dict]`), archive
+header with original length (runner.cpp:34-86), stored-block fallback,
+dictionary flag in the header (runner.cpp:44), WRT text transform with
+smaller-only fallback (preprocessor.cpp:443-477), dictionary pretraining
+(preprocessor.cpp:37-69), and the cross-entropy report (runner.cpp:322-327).
+TPU-first difference: the input is split into fixed-size blocks compressed
+*in parallel* as a batch (the reference is strictly single-stream), and the
+pretrained state is computed once, cached, and broadcast to every block.
 
-Archive format v1:
+Archive format v2:
   magic 'TCMX' | u8 version | u8 flags | u8 log2(block_size) | u8 tbits
-  | u8 mbits | u8 ibits | u64 orig_len | u32 n_blocks
+  | u8 mbits | u8 ibits | u16 lstm_hidden | u16 exec_batch | u64 orig_len
+  | u64 payload_len | u32 n_blocks | 8s dict_fingerprint
   | n_blocks * u32 comp_len   (high bit set => block stored raw)
   | concatenated block streams
+flags: bit0 = WRT transform applied, bit1 = dictionary-pretrained models.
+exec_batch: the device batch size the archive was coded at.  f32 model
+math is bit-identical between encode and decode only when both run the
+same executable, and the batch size is part of the compiled shape -- so
+it is part of the format and both directions always run at exactly this
+batch (padding with dummy lanes).
 """
 
 import argparse
 import struct
-import sys
 import time
 
 import numpy as np
@@ -29,6 +38,11 @@ from cmix_tpu.engine import (
     EngineConfig, init_state, make_transcoder, MODE_ENCODE, MODE_DECODE)
 
 _RAW_FLAG = 0x80000000
+_FLAG_WRT = 1
+_FLAG_PRETRAIN = 2
+
+_HDR = "<BBBBBBHHQQI8s"
+_HDR_LEN = struct.calcsize(_HDR)
 
 _TRANSCODER_CACHE = {}
 
@@ -39,8 +53,8 @@ def get_transcoder(cfg: EngineConfig):
     return _TRANSCODER_CACHE[cfg]
 
 
-def _batched_state(cfg, b):
-    st = init_state(cfg)
+def _batched_state(cfg, b, base=None):
+    st = base if base is not None else init_state(cfg)
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (b,) + x.shape), st)
 
@@ -55,50 +69,103 @@ def _split_blocks(data: bytes, n: int):
     return arr
 
 
+def _load_dictionary(dictionary):
+    from cmix_tpu.preprocess.wrt import Dictionary
+    if dictionary is None:
+        return None, b"", b"\0" * 8
+    d = Dictionary(dictionary)
+    with open(dictionary, "rb") as f:
+        dict_bytes = f.read()
+    from cmix_tpu.utils.checkpoint import dict_fingerprint
+    return d, dict_bytes, dict_fingerprint(dict_bytes)
+
+
+def _pretrained_base(cfg, dict_bytes):
+    from cmix_tpu.utils.checkpoint import cached_pretrained_state
+    # replay with LF->space like the reference (preprocessor.cpp:59)
+    return cached_pretrained_state(cfg, dict_bytes.replace(b"\n", b" "))
+
+
 def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
-             max_batch: int = 64) -> bytes:
-    """Compress ``data`` into a TCMX archive."""
+             max_batch: int = 64, dictionary: str = None) -> bytes:
+    """Compress ``data`` into a TCMX archive.
+
+    dictionary: path to a word list; enables the WRT text transform (when
+    it shrinks the payload) and model pretraining, like the reference's
+    ``cmix -c [dictionary]`` mode.
+    """
+    flags = 0
+    payload = data
+    d, dict_bytes, fp = _load_dictionary(dictionary)
+    base = None
+    if d is not None:
+        from cmix_tpu.preprocess.wrt import detect_text_chunks
+        types = detect_text_chunks(data)
+        if len(data) and types.mean() >= 0.9:
+            transformed = d.encode(data)
+            if len(transformed) < len(data):
+                payload = transformed
+                flags |= _FLAG_WRT
+        base = _pretrained_base(cfg, dict_bytes)
+        flags |= _FLAG_PRETRAIN
+
     n = cfg.block_size
-    blocks = _split_blocks(data, n)
+    blocks = _split_blocks(payload, n)
     nb = blocks.shape[0]
+    eb = min(max_batch, nb)                  # exec batch: format-relevant
     trans = get_transcoder(cfg)
 
     streams = []
-    for lo in range(0, nb, max_batch):
-        batch = blocks[lo:lo + max_batch]
+    for lo in range(0, nb, eb):
+        batch = blocks[lo:lo + eb]
         b = batch.shape[0]
-        state = _batched_state(cfg, b)
-        comp0 = jnp.zeros((b, cfg.comp_size), dtype=jnp.uint8)
+        if b < eb:                           # pad group to the exec batch
+            batch = np.concatenate(
+                [batch, np.zeros((eb - b, n), dtype=np.uint8)], axis=0)
+        state = _batched_state(cfg, eb, base)
+        comp0 = jnp.zeros((eb, cfg.comp_size), dtype=jnp.uint8)
         _, out, out_len = trans(state, jnp.asarray(batch), comp0,
                                 jnp.int32(MODE_ENCODE))
         out = np.asarray(out)
         out_len = np.asarray(out_len)
         for i in range(b):
             L = int(out_len[i])
-            blk = bytes(batch[i].tobytes())
             if L >= n:                       # incompressible: store raw
-                real = blk[:min(n, len(data) - (lo + i) * n)]
+                real = bytes(batch[i].tobytes())[
+                    :min(n, len(payload) - (lo + i) * n)]
                 streams.append((True, real))
             else:
                 streams.append((False, bytes(out[i, :L].tobytes())))
 
     header = MAGIC + struct.pack(
-        "<BBBBBBHQI", FORMAT_VERSION, 0, cfg.block_size.bit_length() - 1,
-        cfg.tbits, cfg.mbits, cfg.ibits, cfg.lstm_hidden, len(data), nb)
+        _HDR, FORMAT_VERSION, flags, cfg.block_size.bit_length() - 1,
+        cfg.tbits, cfg.mbits, cfg.ibits, cfg.lstm_hidden, eb,
+        len(data), len(payload), nb, fp)
     lens = b"".join(
         struct.pack("<I", (len(s) | (_RAW_FLAG if raw else 0)))
         for raw, s in streams)
     return header + lens + b"".join(s for _, s in streams)
 
 
-def decompress(archive: bytes, max_batch: int = 64) -> bytes:
+def decompress(archive: bytes, max_batch: int = 64,
+               dictionary: str = None) -> bytes:
     assert archive[:4] == MAGIC, "bad magic"
-    (ver, _flags, log_bs, tbits, mbits, ibits, lstm_hidden, orig_len,
-     nb) = struct.unpack("<BBBBBBHQI", archive[4:4 + 20])
+    (ver, flags, log_bs, tbits, mbits, ibits, lstm_hidden, eb, orig_len,
+     payload_len, nb, fp) = struct.unpack(
+        _HDR, archive[4:4 + _HDR_LEN])
     assert ver == FORMAT_VERSION, f"format version {ver} unsupported"
     cfg = EngineConfig(block_size=1 << log_bs, tbits=tbits, mbits=mbits,
                        ibits=ibits, lstm_hidden=lstm_hidden)
-    off = 4 + 20
+    d, dict_bytes, fp2 = _load_dictionary(dictionary)
+    base = None
+    if flags & (_FLAG_WRT | _FLAG_PRETRAIN):
+        assert d is not None, "archive requires the dictionary it was " \
+            "compressed with (pass dictionary=...)"
+        assert fp == fp2, "dictionary fingerprint mismatch"
+    if flags & _FLAG_PRETRAIN:
+        base = _pretrained_base(cfg, dict_bytes)
+
+    off = 4 + _HDR_LEN
     lens = struct.unpack("<" + "I" * nb, archive[off:off + 4 * nb])
     off += 4 * nb
     streams = []
@@ -115,21 +182,25 @@ def decompress(archive: bytes, max_batch: int = 64) -> bytes:
     for i, (raw, s) in enumerate(streams):
         if raw:
             out_parts[i] = s
-    for lo in range(0, len(coded), max_batch):
-        group = coded[lo:lo + max_batch]
+    for lo in range(0, len(coded), eb):
+        group = coded[lo:lo + eb]
         b = len(group)
-        comp = np.zeros((b, cfg.comp_size), dtype=np.uint8)
+        comp = np.zeros((eb, cfg.comp_size), dtype=np.uint8)
         for j, (_, s) in enumerate(group):
             comp[j, :len(s)] = np.frombuffer(s, dtype=np.uint8)
-        state = _batched_state(cfg, b)
-        inp0 = jnp.zeros((b, n), dtype=jnp.uint8)
+        state = _batched_state(cfg, eb, base)
+        inp0 = jnp.zeros((eb, n), dtype=jnp.uint8)
         hist, _, _ = trans(state, inp0, jnp.asarray(comp),
                            jnp.int32(MODE_DECODE))
         hist = np.asarray(hist)
         for j, (i, _) in enumerate(group):
             out_parts[i] = bytes(hist[j].tobytes())
-    result = b"".join(out_parts)
-    return result[:orig_len]
+    payload = b"".join(out_parts)[:payload_len]
+    if flags & _FLAG_WRT:
+        payload = d.decode(payload)
+    assert len(payload) == orig_len, \
+        f"decoded length {len(payload)} != {orig_len}"
+    return payload
 
 
 # ----------------------------------------------------------------------- CLI
@@ -143,8 +214,11 @@ def main(argv=None):
                     help="c=compress d=decompress t=roundtrip-test")
     ap.add_argument("input")
     ap.add_argument("output")
+    ap.add_argument("--dict", dest="dictionary", default=None,
+                    help="word dictionary (enables WRT + pretraining)")
     ap.add_argument("--block-size", type=int, default=1 << 16)
     ap.add_argument("--tbits", type=int, default=18)
+    ap.add_argument("--lstm", type=int, default=256)
     ap.add_argument("--max-batch", type=int, default=64)
     args = ap.parse_args(argv)
 
@@ -152,10 +226,13 @@ def main(argv=None):
         data = f.read()
     t0 = time.time()
     if args.mode in ("c", "t"):
-        cfg = EngineConfig(block_size=args.block_size, tbits=args.tbits)
-        out = compress(data, cfg, max_batch=args.max_batch)
+        cfg = EngineConfig(block_size=args.block_size, tbits=args.tbits,
+                           lstm_hidden=args.lstm)
+        out = compress(data, cfg, max_batch=args.max_batch,
+                       dictionary=args.dictionary)
         if args.mode == "t":
-            back = decompress(out, max_batch=args.max_batch)
+            back = decompress(out, max_batch=args.max_batch,
+                              dictionary=args.dictionary)
             assert back == data, "ROUNDTRIP FAILED"
         with open(args.output, "wb") as f:
             f.write(out)
@@ -164,7 +241,8 @@ def main(argv=None):
         print(f"{len(data)} bytes -> {len(out)} bytes in {dt:.2f} s")
         print(f"cross entropy: {bpb:.4f}")
     else:
-        out = decompress(data, max_batch=args.max_batch)
+        out = decompress(data, max_batch=args.max_batch,
+                         dictionary=args.dictionary)
         with open(args.output, "wb") as f:
             f.write(out)
         print(f"{len(data)} bytes -> {len(out)} bytes in "

@@ -1,0 +1,70 @@
+"""State checkpointing: save/load engine state pytrees.
+
+The reference has no working checkpointing (its LSTM save/load is
+commented out, src/mixer/lstm.cpp:31-36); here it is a first-class
+subsystem: pretrained dictionary states are cached on disk so the 400KB+
+replay runs once per (dictionary, config) and is broadcast to every
+block/chip afterwards (SURVEY.md section 2.8 "broadcast of pretrained
+state").
+"""
+
+import hashlib
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "cmix_tpu")
+
+
+def _flatten(state):
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    return leaves, treedef
+
+
+def save_state(path, state):
+    leaves, _ = _flatten(state)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, *[np.asarray(x) for x in leaves])
+
+
+def load_state(path, like):
+    """Load a state saved by save_state, using ``like`` for the treedef."""
+    leaves, treedef = _flatten(like)
+    with np.load(path) as z:
+        arrs = [z[f"arr_{i}"] for i in range(len(leaves))]
+    for a, l in zip(arrs, leaves):
+        assert a.shape == l.shape and a.dtype == l.dtype, \
+            f"checkpoint mismatch: {a.shape}/{a.dtype} vs {l.shape}/{l.dtype}"
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(a) for a in arrs])
+
+
+def pretrain_cache_key(cfg, dict_bytes):
+    h = hashlib.sha256()
+    h.update(repr(cfg).encode())
+    h.update(dict_bytes)
+    return h.hexdigest()[:24]
+
+
+def cached_pretrained_state(cfg, dict_bytes):
+    """Returns the pretrained state for (cfg, dictionary), computing and
+    caching it on first use."""
+    from cmix_tpu.engine import init_state, make_pretrainer
+
+    key = pretrain_cache_key(cfg, dict_bytes)
+    path = os.path.join(CACHE_DIR, f"pretrain_{key}.npz")
+    like = init_state(cfg)
+    if os.path.exists(path):
+        return load_state(path, like)
+    pre = make_pretrainer(cfg)
+    data = jnp.asarray(np.frombuffer(dict_bytes, dtype=np.uint8))
+    state = pre(like, data)
+    state = jax.tree_util.tree_map(jnp.asarray, state)
+    save_state(path, state)
+    return load_state(path, init_state(cfg))
+
+
+def dict_fingerprint(dict_bytes):
+    return hashlib.sha256(dict_bytes).digest()[:8]

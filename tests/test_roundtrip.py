@@ -68,3 +68,25 @@ def test_lstm_roundtrip():
         data = f.read()[:2000]
     arch = compress(data, cfg)
     assert decompress(arch) == data
+
+
+def test_dictionary_mode_roundtrip():
+    cfg = EngineConfig(block_size=2048, tbits=14, mbits=14, ibits=12,
+                       lstm_hidden=0)
+    with open("/root/reference/COPYING", "rb") as f:
+        data = f.read()[:6000]
+    # tiny dictionary so the pretrain scan stays fast on CPU
+    import tempfile, os
+    words = sorted(set(
+        w.lower() for w in data.decode("latin-1").split() if w.isalpha()))
+    with tempfile.NamedTemporaryFile("w", suffix=".dic", delete=False) as f:
+        f.write("\n".join(words))
+        dic = f.name
+    try:
+        arch = compress(data, cfg, dictionary=dic)
+        plain = compress(data, cfg)
+        back = decompress(arch, dictionary=dic)
+        assert back == data
+        assert len(arch) < len(plain)       # WRT + pretraining must help
+    finally:
+        os.unlink(dic)
