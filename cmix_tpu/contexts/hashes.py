@@ -113,3 +113,27 @@ def update_ctx_state(cs, byte_u32):
                         jnp.minimum(cs["linepos"] + 1, jnp.uint32(8191)))
     return {"ohash": new_ohash, "last4": last4, "word": word,
             "last_word": last_word, "clsreg": clsreg, "linepos": linepos}
+
+
+def update_ctx_state_batched(cs, bytes_b):
+    """Advance batched context state by one byte per block.
+
+    cs leaves have a leading batch dim; bytes_b is uint32 (B,).
+    """
+    b = bytes_b.astype(jnp.uint32)
+    ohash = cs["ohash"]                                    # (B, MAX_ORDER+1)
+    zero = jnp.zeros((b.shape[0], 1), dtype=jnp.uint32)
+    new_ohash = jnp.concatenate(
+        [zero, mix32(ohash[:, :-1], b[:, None])], axis=1)
+    last4 = (cs["last4"] << jnp.uint32(8)) | b
+    lower = jnp.asarray(LOWER_MAP)[b]
+    is_letter = jnp.asarray(IS_LETTER)[b]
+    word = jnp.where(is_letter == 1, mix32(cs["word"], lower),
+                     jnp.zeros_like(cs["word"]))
+    ended = (is_letter == 0) & (cs["word"] != 0)
+    last_word = jnp.where(ended, cs["word"], cs["last_word"])
+    clsreg = (cs["clsreg"] << jnp.uint32(4)) | jnp.asarray(BYTE_CLASS)[b]
+    linepos = jnp.where(b == jnp.uint32(10), jnp.zeros_like(cs["linepos"]),
+                        jnp.minimum(cs["linepos"] + 1, jnp.uint32(8191)))
+    return {"ohash": new_ohash, "last4": last4, "word": word,
+            "last_word": last_word, "clsreg": clsreg, "linepos": linepos}

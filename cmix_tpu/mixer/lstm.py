@@ -151,3 +151,89 @@ def lstm_byte_update(cfg: LstmConfig, st, byte):
         "h_prev": st["h"], "c_prev": st["c"], "prev_byte": byte,
         "qcum": qcum,
     }
+
+
+# ----------------------------------------------------- shared-weight batch
+# v3 engine: ONE set of LSTM weights serves all B blocks of a coding group
+# (the reference's LSTM is per-stream, src/mixer/lstm.cpp; sharing turns
+# the per-byte cell into one MXU matmul and divides optimizer-state HBM
+# traffic by B, and the weights see B streams of training signal).
+
+
+def init_lstm_shared(cfg: LstmConfig, seed: int = 0x1234):
+    st = init_lstm(cfg, seed)
+    return {"params": st["params"], "opt": st["opt"]}
+
+
+def init_lstm_perblock(cfg: LstmConfig):
+    h = cfg.hidden
+    return {
+        "h": jnp.zeros(h, jnp.float32),
+        "c": jnp.zeros(h, jnp.float32),
+        "h_prev": jnp.zeros(h, jnp.float32),
+        "c_prev": jnp.zeros(h, jnp.float32),
+        "prev_byte": jnp.zeros((), jnp.int32),
+        "qcum": jnp.asarray(
+            np.arange(257, dtype=np.float32) * (65536.0 / 256.0)),
+    }
+
+
+def _cell_b(params, h, c, bytes_b):
+    """Batched fused-gate cell: h,c (B,H), bytes_b (B,) int32."""
+    hh = params["wx"][bytes_b] + h @ params["wh"] + params["b"][None, :]
+    H = h.shape[1]
+    m = jnp.mean(hh.reshape(h.shape[0], 3, H), axis=2, keepdims=True)
+    v = jnp.mean(jnp.square(hh.reshape(h.shape[0], 3, H) - m), axis=2,
+                 keepdims=True)
+    hh = ((hh.reshape(h.shape[0], 3, H) - m)
+          * jax.lax.rsqrt(v + 1e-5)).reshape(h.shape[0], 3 * H)
+    f = jax.nn.sigmoid(hh[:, :H])
+    g = jnp.tanh(hh[:, H:2 * H])
+    o = jax.nn.sigmoid(hh[:, 2 * H:])
+    c_new = f * c + (1.0 - f) * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_shared_byte_update(cfg: LstmConfig, sh, pb, bytes_b):
+    """One Adam step on shared params from the batch-mean one-step loss,
+    then advance every block and cache next-byte distributions.
+
+    sh: {params, opt}; pb leaves have leading batch dim; bytes_b (B,).
+    """
+    params, opt = sh["params"], sh["opt"]
+
+    def loss_fn(p):
+        hn, _ = _cell_b(p, pb["h_prev"], pb["c_prev"], pb["prev_byte"])
+        logits = hn @ p["wo"] + p["bo"][None, :]
+        lse = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(
+            lse, bytes_b[:, None], axis=1))
+
+    grads = jax.grad(loss_fn)(params)
+
+    step = opt["step"] + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - jnp.power(jnp.float32(cfg.beta1), t)
+    bc2 = 1.0 - jnp.power(jnp.float32(cfg.beta2), t)
+
+    new_p, new_m, new_v = {}, {}, {}
+    for k in params:
+        g = grads[k]
+        m = cfg.beta1 * opt["m"][k] + (1 - cfg.beta1) * g
+        v = cfg.beta2 * opt["v"][k] + (1 - cfg.beta2) * g * g
+        new_m[k], new_v[k] = m, v
+        new_p[k] = params[k] - cfg.lr * (m / bc1) / (
+            jnp.sqrt(v / bc2) + cfg.eps)
+
+    h_new, c_new = _cell_b(new_p, pb["h"], pb["c"], bytes_b)
+    logits = h_new @ new_p["wo"] + new_p["bo"][None, :]
+    q = jax.nn.softmax(logits, axis=1) * 65536.0
+    qcum = jnp.concatenate(
+        [jnp.zeros((q.shape[0], 1), jnp.float32),
+         jnp.cumsum(q, axis=1)], axis=1)
+
+    sh = {"params": new_p, "opt": {"m": new_m, "v": new_v, "step": step}}
+    pb = {"h": h_new, "c": c_new, "h_prev": pb["h"], "c_prev": pb["c"],
+          "prev_byte": bytes_b, "qcum": qcum}
+    return sh, pb

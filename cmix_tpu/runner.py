@@ -35,7 +35,8 @@ import jax.numpy as jnp
 
 from cmix_tpu.version import FORMAT_VERSION, MAGIC
 from cmix_tpu.engine import (
-    EngineConfig, init_state, make_transcoder, MODE_ENCODE, MODE_DECODE)
+    EngineConfig, init_shared, init_perblock, make_transcoder,
+    MODE_ENCODE, MODE_DECODE)
 
 _RAW_FLAG = 0x80000000
 _FLAG_WRT = 1
@@ -53,10 +54,17 @@ def get_transcoder(cfg: EngineConfig):
     return _TRANSCODER_CACHE[cfg]
 
 
-def _batched_state(cfg, b, base=None):
-    st = base if base is not None else init_state(cfg)
-    return jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (b,) + x.shape), st)
+def _group_state(cfg, b, base_sh=None):
+    """(sh, pb) for one coding group: fresh or pretrained shared state
+    (materialized per group since the transcoder donates it) plus b
+    broadcast per-block states."""
+    if base_sh is not None:
+        sh = jax.tree_util.tree_map(jnp.array, base_sh)
+    else:
+        sh = init_shared(cfg)
+    pb = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (b,) + (1,) * x.ndim), init_perblock(cfg))
+    return sh, pb
 
 
 def _split_blocks(data: bytes, n: int):
@@ -122,9 +130,9 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         if b < eb:                           # pad group to the exec batch
             batch = np.concatenate(
                 [batch, np.zeros((eb - b, n), dtype=np.uint8)], axis=0)
-        state = _batched_state(cfg, eb, base)
+        sh, pb = _group_state(cfg, eb, base)
         comp0 = jnp.zeros((eb, cfg.comp_size), dtype=jnp.uint8)
-        _, out, out_len = trans(state, jnp.asarray(batch), comp0,
+        _, out, out_len = trans(sh, pb, jnp.asarray(batch), comp0,
                                 jnp.int32(MODE_ENCODE))
         out = np.asarray(out)
         out_len = np.asarray(out_len)
@@ -178,23 +186,25 @@ def decompress(archive: bytes, max_batch: int = 64,
     trans = get_transcoder(cfg)
     n = cfg.block_size
     out_parts = [None] * nb
-    coded = [(i, s) for i, (raw, s) in enumerate(streams) if not raw]
-    for i, (raw, s) in enumerate(streams):
-        if raw:
-            out_parts[i] = s
-    for lo in range(0, len(coded), eb):
-        group = coded[lo:lo + eb]
-        b = len(group)
+    # decode groups mirror encode groups exactly: raw-stored blocks are
+    # re-fed through encode-mode lanes so shared model state matches.
+    for lo in range(0, nb, eb):
+        group = streams[lo:lo + eb]
         comp = np.zeros((eb, cfg.comp_size), dtype=np.uint8)
-        for j, (_, s) in enumerate(group):
-            comp[j, :len(s)] = np.frombuffer(s, dtype=np.uint8)
-        state = _batched_state(cfg, eb, base)
-        inp0 = jnp.zeros((eb, n), dtype=jnp.uint8)
-        hist, _, _ = trans(state, inp0, jnp.asarray(comp),
-                           jnp.int32(MODE_DECODE))
+        inp = np.zeros((eb, n), dtype=np.uint8)
+        modes = np.full(eb, MODE_ENCODE, dtype=np.int32)
+        for j, (raw, s) in enumerate(group):
+            if raw:
+                inp[j, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+            else:
+                comp[j, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+                modes[j] = MODE_DECODE
+        sh, pb = _group_state(cfg, eb, base)
+        hist, _, _ = trans(sh, pb, jnp.asarray(inp), jnp.asarray(comp),
+                           jnp.asarray(modes))
         hist = np.asarray(hist)
-        for j, (i, _) in enumerate(group):
-            out_parts[i] = bytes(hist[j].tobytes())
+        for j, (raw, s) in enumerate(group):
+            out_parts[lo + j] = s if raw else bytes(hist[j].tobytes())
     payload = b"".join(out_parts)[:payload_len]
     if flags & _FLAG_WRT:
         payload = d.decode(payload)

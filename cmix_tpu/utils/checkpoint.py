@@ -42,28 +42,31 @@ def load_state(path, like):
 
 
 def pretrain_cache_key(cfg, dict_bytes):
+    from cmix_tpu.version import FORMAT_VERSION
     h = hashlib.sha256()
+    h.update(str(FORMAT_VERSION).encode())
     h.update(repr(cfg).encode())
     h.update(dict_bytes)
     return h.hexdigest()[:24]
 
 
 def cached_pretrained_state(cfg, dict_bytes):
-    """Returns the pretrained state for (cfg, dictionary), computing and
-    caching it on first use."""
-    from cmix_tpu.engine import init_state, make_pretrainer
+    """Returns the pretrained SHARED state for (cfg, dictionary),
+    computing and caching it on first use.  The cached file is the format
+    artifact: encode and decode both load identical bytes."""
+    from cmix_tpu.engine import init_shared, make_pretrainer
 
     key = pretrain_cache_key(cfg, dict_bytes)
     path = os.path.join(CACHE_DIR, f"pretrain_{key}.npz")
-    like = init_state(cfg)
+    like = init_shared(cfg)
     if os.path.exists(path):
         return load_state(path, like)
     pre = make_pretrainer(cfg)
-    data = jnp.asarray(np.frombuffer(dict_bytes, dtype=np.uint8))
-    state = pre(like, data)
-    state = jax.tree_util.tree_map(jnp.asarray, state)
-    save_state(path, state)
-    return load_state(path, init_state(cfg))
+    data = np.frombuffer(dict_bytes, dtype=np.uint8)
+    sh = pre(like, data)
+    sh = jax.tree_util.tree_map(np.asarray, sh)
+    save_state(path, sh)
+    return load_state(path, init_shared(cfg))
 
 
 def dict_fingerprint(dict_bytes):

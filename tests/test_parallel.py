@@ -7,7 +7,7 @@ import pytest
 
 from cmix_tpu.engine import EngineConfig, MODE_ENCODE, MODE_DECODE
 from cmix_tpu.parallel.mesh import (
-    make_mesh, make_sharded_transcoder, sharded_batched_state)
+    make_mesh, make_sharded_transcoder, sharded_group_state)
 
 
 CFG = EngineConfig(block_size=256, tbits=10, mbits=10, ibits=8, lstm_hidden=0)
@@ -25,9 +25,9 @@ def test_sharded_encode_decode_roundtrip():
         open("/root/reference/COPYING", "rb").read()[:b * CFG.block_size],
         dtype=np.uint8).reshape(b, CFG.block_size)
 
-    state = sharded_batched_state(CFG, b, mesh)
+    sh, pb = sharded_group_state(CFG, b, mesh)
     comp0 = jnp.zeros((b, CFG.comp_size), dtype=jnp.uint8)
-    hist, out, out_len = trans(state, jnp.asarray(data), comp0,
+    hist, out, out_len = trans(sh, pb, jnp.asarray(data), comp0,
                                jnp.int32(MODE_ENCODE))
     out, out_len = np.asarray(out), np.asarray(out_len)
     assert np.array_equal(np.asarray(hist), data)
@@ -35,9 +35,9 @@ def test_sharded_encode_decode_roundtrip():
     comp = np.zeros((b, CFG.comp_size), dtype=np.uint8)
     for i in range(b):
         comp[i, :out_len[i]] = out[i, :out_len[i]]
-    state2 = sharded_batched_state(CFG, b, mesh)
+    sh2, pb2 = sharded_group_state(CFG, b, mesh)
     inp0 = jnp.zeros((b, CFG.block_size), dtype=jnp.uint8)
-    hist2, _, _ = trans(state2, inp0, jnp.asarray(comp), jnp.int32(MODE_DECODE))
+    hist2, _, _ = trans(sh2, pb2, inp0, jnp.asarray(comp), jnp.int32(MODE_DECODE))
     assert np.array_equal(np.asarray(hist2), data)
 
 
@@ -57,13 +57,13 @@ def test_sharded_roundtrip_same_mesh():
         dtype=np.uint8).reshape(b, CFG.block_size)
     comp0 = jnp.zeros((b, CFG.comp_size), dtype=jnp.uint8)
 
-    st1 = sharded_batched_state(CFG, b, mesh)
-    _, out1, len1 = strans(st1, jnp.asarray(data), comp0, MODE_ENCODE)
+    sh1, pb1 = sharded_group_state(CFG, b, mesh)
+    _, out1, len1 = strans(sh1, pb1, jnp.asarray(data), comp0, MODE_ENCODE)
     comp = np.zeros((b, CFG.comp_size), dtype=np.uint8)
     for i in range(b):
         comp[i, :len1[i]] = out1[i, :len1[i]]
-    st2 = sharded_batched_state(CFG, b, mesh)
-    hist, _, _ = strans(st2, jnp.zeros((b, CFG.block_size), jnp.uint8),
+    sh2, pb2 = sharded_group_state(CFG, b, mesh)
+    hist, _, _ = strans(sh2, pb2, jnp.zeros((b, CFG.block_size), jnp.uint8),
                         jnp.asarray(comp), MODE_DECODE)
     assert np.array_equal(np.asarray(hist), data)
 
