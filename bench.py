@@ -38,14 +38,19 @@ def build_corpus(mb=4):
 
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
     from cmix_tpu.engine import EngineConfig, MODE_ENCODE, MODE_DECODE
-    from cmix_tpu.runner import get_transcoder, _batched_state, _split_blocks
+    from cmix_tpu.runner import get_transcoder, _group_state, _split_blocks
 
     log(f"devices: {jax.devices()}")
-    cfg = EngineConfig(block_size=1 << 16, tbits=16, mbits=16, ibits=14,
-                       lstm_hidden=256)
+    cfg = EngineConfig(block_size=1 << 14, tbits=18, mbits=18, ibits=16,
+                       lstm_hidden=256, seg_size=2048)
     data = build_corpus(mb=4)
     blocks = _split_blocks(data, cfg.block_size)
     b = blocks.shape[0]
@@ -55,16 +60,16 @@ def main():
 
     # --- encode (first call compiles)
     t0 = time.time()
-    state = _batched_state(cfg, b)
-    hist, out, out_len = trans(state, inp, comp0, jnp.int32(MODE_ENCODE))
+    sh, pb = _group_state(cfg, b)
+    hist, out, out_len = trans(sh, pb, inp, comp0, jnp.int32(MODE_ENCODE))
     out = np.asarray(out)
     out_len = np.asarray(out_len)
     t_compile_enc = time.time() - t0
     log(f"encode compile+first: {t_compile_enc:.1f}s")
 
-    state = _batched_state(cfg, b)
+    sh, pb = _group_state(cfg, b)
     t0 = time.time()
-    hist, out_j, len_j = trans(state, inp, comp0, jnp.int32(MODE_ENCODE))
+    hist, out_j, len_j = trans(sh, pb, inp, comp0, jnp.int32(MODE_ENCODE))
     out = np.asarray(out_j)
     out_len = np.asarray(len_j)
     enc_s = time.time() - t0
@@ -77,23 +82,15 @@ def main():
     comp = np.zeros((b, cfg.comp_size), dtype=np.uint8)
     for i in range(b):
         comp[i, :out_len[i]] = out[i, :out_len[i]]
-    state = _batched_state(cfg, b)
+    sh, pb = _group_state(cfg, b)
     inp0 = jnp.zeros((b, cfg.block_size), dtype=jnp.uint8)
     compj = jnp.asarray(comp)
     t0 = time.time()
-    hist2, _, _ = trans(state, inp0, compj, jnp.int32(MODE_DECODE))
-    hist2 = np.asarray(hist2)
-    dec_first = time.time() - t0
-    log(f"decode first: {dec_first:.2f}s")
-    ok = np.array_equal(hist2, blocks)
-    log(f"roundtrip: {ok}")
-
-    state = _batched_state(cfg, b)
-    t0 = time.time()
-    hist2, _, _ = trans(state, inp0, compj, jnp.int32(MODE_DECODE))
+    hist2, _, _ = trans(sh, pb, inp0, compj, jnp.int32(MODE_DECODE))
     hist2 = np.asarray(hist2)
     dec_s = time.time() - t0
-    log(f"decode: {dec_s:.2f}s  {mb / dec_s:.3f} MB/s")
+    ok = np.array_equal(hist2, blocks)
+    log(f"decode: {dec_s:.2f}s  {mb / dec_s:.3f} MB/s  roundtrip: {ok}")
 
     if not ok:
         print(json.dumps({"metric": "encode+decode MB/s/chip",

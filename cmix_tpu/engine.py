@@ -74,6 +74,7 @@ _MIX1_OFF = np.concatenate([[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
 _MIX1_TOTAL = int(_MIX1_ROWS.sum())
 
 ST_CLAMP = 12.0            # stretch clamp: p in [6e-6, 1-6e-6]
+_SLOT_INIT = (4096 << 18) | (2048 << 6)   # p=0.5, st=0, cnt=0
 MIX_LR = 4e-3              # mixer learning rate
 APM_RATE = 0.02            # SSE node update rate
 CNT_CAP = 60               # counter cap: floor adaptive rate ~ 1/62
@@ -126,12 +127,14 @@ class EngineConfig:
 def init_shared(cfg: EngineConfig):
     """Shared (per coding group) learned state -- no batch dimension."""
     sh = {
-        # bank slot: p12 (bits 8..19) | cnt (bits 0..7); init p12=2048
-        "bank": jnp.full((N_BANK, cfg.rows, 256), 2048 << 8,
+        # bank slot bits: [0..5] cnt | [6..17] p12 | [18..30] st13 where
+        # st13 = round(stretch*256)+4096 -- the stretch is precomputed at
+        # update time so prediction needs no transcendentals on the tree.
+        "bank": jnp.full((N_BANK, cfg.rows, 256), _SLOT_INIT,
                          dtype=jnp.uint32),
         "d0_p": jnp.full(256, 0.5, dtype=jnp.float32),
         "d0_c": jnp.zeros(256, dtype=jnp.float32),
-        "d1": jnp.full((256, 256), 2048 << 8, dtype=jnp.uint32),
+        "d1": jnp.full((256, 256), _SLOT_INIT, dtype=jnp.uint32),
         "ind_tbl": jnp.zeros(1 << cfg.ibits, dtype=jnp.uint32),
         "match_tbl": jnp.zeros((N_MATCH, 1 << cfg.mbits), dtype=jnp.int32),
         "match_conf": jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32),
@@ -208,6 +211,21 @@ def _bank_bases_b(cs, ind_val):
     return mix32(v, salt[None, :])
 
 
+def _slot_update(slots, target):
+    """Adaptive counter update of packed slots toward target bits (f32)."""
+    cnt = (slots & jnp.uint32(0x3F)).astype(jnp.float32)
+    p12 = ((slots >> jnp.uint32(6)) & jnp.uint32(0xFFF)).astype(jnp.float32)
+    p = p12 * (1.0 / 4096.0)
+    rate = 1.0 / (cnt + 1.6)
+    newp = p + (target - p) * rate
+    newc = jnp.minimum(cnt + 1.0, float(CNT_CAP))
+    st13 = jnp.clip(_stretch_f(newp) * 256.0 + 4096.0, 0, 8191)
+    return ((st13.astype(jnp.uint32) << jnp.uint32(18))
+            | (jnp.clip(newp * 4096.0, 1, 4095).astype(jnp.uint32)
+               << jnp.uint32(6))
+            | newc.astype(jnp.uint32))
+
+
 def _stretch_f(p):
     p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
     return jnp.clip(jnp.log(p / (1.0 - p)), -ST_CLAMP, ST_CLAMP)
@@ -269,15 +287,14 @@ def _predict_tree_b(cfg, sh, pb):
     rowi = ((bases >> U8) & rmask).astype(jnp.int32)         # (B, NM)
     m_ar = jnp.arange(N_BANK)
     rows = sh["bank"][m_ar[None, :], rowi]                   # (B, NM, 256)
-    p12 = (rows >> U8).astype(jnp.float32) * (1.0 / 4096.0)
-    cnt = (rows & jnp.uint32(0xFF)).astype(jnp.float32)
-    st_bank = _stretch_f(p12)                                # (B, NM, 256)
+    st_bank = ((rows >> jnp.uint32(18)).astype(jnp.float32)
+               - 4096.0) * (1.0 / 256.0)                     # (B, NM, 256)
 
     b1 = (cs["last4"] & jnp.uint32(0xFF)).astype(jnp.int32)  # (B,)
     st_d0 = jnp.broadcast_to(_stretch_f(sh["d0_p"])[None], (B, 256))
     d1row = sh["d1"][b1]                                     # (B, 256)
-    p12_d1 = (d1row >> U8).astype(jnp.float32) * (1.0 / 4096.0)
-    st_d1 = _stretch_f(p12_d1)
+    st_d1 = ((d1row >> jnp.uint32(18)).astype(jnp.float32)
+             - 4096.0) * (1.0 / 256.0)
 
     # match: cursors may point into ANY block's history (cross-block refs)
     exp_byte = pb["hist"][
@@ -355,8 +372,8 @@ def _predict_tree_b(cfg, sh, pb):
     st_fin = 0.4 * _stretch_f(p_mix) + 0.6 * _stretch_f(pa)
     p_tree = _squash_f(st_fin)                               # (B, 256)
 
-    aux = dict(rowi=rowi, p12=p12, cnt=cnt, b1=b1, d1row=d1row,
-               p12_d1=p12_d1, alive=alive, exp_bit=exp_bit, lenb=lenb,
+    aux = dict(rowi=rowi, rows=rows, b1=b1, d1row=d1row,
+               alive=alive, exp_bit=exp_bit, lenb=lenb,
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
                w_level=w_level, p1=p1, st1=st1, p_mix=p_mix,
                longest=longest, t1=t1, f1=f1, t2=t2, f2=f2, p_tree=p_tree)
@@ -388,13 +405,8 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
           ).astype(jnp.float32)                              # (B, 8)
 
     # ---- bank: path-slot counter updates, element scatter
-    p12_p = jnp.take_along_axis(aux["p12"], n8[:, None, :], axis=2)
-    cnt_p = jnp.take_along_axis(aux["cnt"], n8[:, None, :], axis=2)
-    rate = 1.0 / (cnt_p + 1.6)
-    newp = p12_p + (t8[:, None, :] - p12_p) * rate           # (B, NM, 8)
-    newc = jnp.minimum(cnt_p + 1.0, float(CNT_CAP))
-    packed = ((jnp.clip(newp * 4096.0, 1, 4095).astype(jnp.uint32) << U8)
-              | newc.astype(jnp.uint32))
+    slots = jnp.take_along_axis(aux["rows"], n8[:, None, :], axis=2)
+    packed = _slot_update(slots, t8[:, None, :])             # (B, NM, 8)
     m_ar = jnp.arange(N_BANK)
     sh["bank"] = sh["bank"].at[
         m_ar[None, :, None], aux["rowi"][:, :, None], n8[:, None, :]
@@ -408,15 +420,9 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     sh["d0_c"] = jnp.minimum(c0 + jnp.sum(on_path, axis=0), float(CNT_CAP))
 
     # ---- d1: path elements per block
-    p12d_p = jnp.take_along_axis(aux["p12_d1"], n8, axis=1)  # (B, 8)
-    cntd_p = jnp.take_along_axis(
-        (aux["d1row"] & jnp.uint32(0xFF)).astype(jnp.float32), n8, axis=1)
-    rd = 1.0 / (cntd_p + 1.6)
-    newpd = p12d_p + (t8 - p12d_p) * rd
-    newcd = jnp.minimum(cntd_p + 1.0, float(CNT_CAP))
-    packd = ((jnp.clip(newpd * 4096.0, 1, 4095).astype(jnp.uint32) << U8)
-             | newcd.astype(jnp.uint32))
-    sh["d1"] = sh["d1"].at[aux["b1"][:, None], n8].set(packd)
+    slots1 = jnp.take_along_axis(aux["d1row"], n8, axis=1)   # (B, 8)
+    sh["d1"] = sh["d1"].at[aux["b1"][:, None], n8].set(
+        _slot_update(slots1, t8))
 
     # ---- match confidence: aggregated per (model, length bucket)
     hit = (aux["exp_bit"].astype(jnp.float32) == target[:, None, :])
