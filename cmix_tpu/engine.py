@@ -63,10 +63,10 @@ MODE_DECODE = 1
 M32 = jnp.uint32(0xFFFFFFFF)
 U8 = jnp.uint32(8)
 
-N_BANK = 21
+N_BANK = 24
 MATCH_ORDERS = (8, 20)
 N_MATCH = len(MATCH_ORDERS)
-N_INPUTS = N_BANK + 2 + N_MATCH + 1   # + d0 + d1 + match x2 + lstm
+N_INPUTS = N_BANK + 3 + N_MATCH + 1   # + d0 + d1 + d2 + match x2 + lstm
 
 _MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64], dtype=np.int64)
 N_MIX1 = len(_MIX1_ROWS)
@@ -135,6 +135,7 @@ def init_shared(cfg: EngineConfig):
         "d0_p": jnp.full(256, 0.5, dtype=jnp.float32),
         "d0_c": jnp.zeros(256, dtype=jnp.float32),
         "d1": jnp.full((256, 256), _SLOT_INIT, dtype=jnp.uint32),
+        "d2": jnp.full((65536, 256), _SLOT_INIT, dtype=jnp.uint32),
         "ind_tbl": jnp.zeros(1 << cfg.ibits, dtype=jnp.uint32),
         "match_tbl": jnp.zeros((N_MATCH, 1 << cfg.mbits), dtype=jnp.int32),
         "match_conf": jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32),
@@ -205,6 +206,9 @@ def _bank_bases_b(cs, ind_val):
         ind_val,                                                  # 18
         b1,                                                       # 19
         l4 & jnp.uint32(0xFFFF),                                  # 20
+        oh[:, 10],                                                # 21
+        oh[:, 20],                                                # 22
+        mix32(cs["last_word"], cs["word"]),                       # 23 bigram
     ]
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
@@ -295,6 +299,10 @@ def _predict_tree_b(cfg, sh, pb):
     d1row = sh["d1"][b1]                                     # (B, 256)
     st_d1 = ((d1row >> jnp.uint32(18)).astype(jnp.float32)
              - 4096.0) * (1.0 / 256.0)
+    b2 = (cs["last4"] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    d2row = sh["d2"][b2]                                     # (B, 256)
+    st_d2 = ((d2row >> jnp.uint32(18)).astype(jnp.float32)
+             - 4096.0) * (1.0 / 256.0)
 
     # match: cursors may point into ANY block's history (cross-block refs)
     exp_byte = pb["hist"][
@@ -322,8 +330,8 @@ def _predict_tree_b(cfg, sh, pb):
         st_lstm = jnp.zeros((B, 1, 256), jnp.float32)
 
     x = jnp.concatenate(
-        [st_bank, st_d0[:, None, :], st_d1[:, None, :], st_match, st_lstm],
-        axis=1)                                              # (B, NIN, 256)
+        [st_bank, st_d0[:, None, :], st_d1[:, None, :], st_d2[:, None, :],
+         st_match, st_lstm], axis=1)                         # (B, NIN, 256)
 
     longest = (jnp.max(jnp.where(pb["match_len"] > 0, lenb, 0), axis=1) * 2
                + jnp.max(jnp.where(pb["match_len"] > 0,
@@ -372,8 +380,8 @@ def _predict_tree_b(cfg, sh, pb):
     st_fin = 0.4 * _stretch_f(p_mix) + 0.6 * _stretch_f(pa)
     p_tree = _squash_f(st_fin)                               # (B, 256)
 
-    aux = dict(rowi=rowi, rows=rows, b1=b1, d1row=d1row,
-               alive=alive, exp_bit=exp_bit, lenb=lenb,
+    aux = dict(rowi=rowi, rows=rows, b1=b1, b2=b2, d1row=d1row,
+               d2row=d2row, alive=alive, exp_bit=exp_bit, lenb=lenb,
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
                w_level=w_level, p1=p1, st1=st1, p_mix=p_mix,
                longest=longest, t1=t1, f1=f1, t2=t2, f2=f2, p_tree=p_tree)
@@ -419,10 +427,13 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     sh["d0_p"] = jnp.clip(sh["d0_p"] + r0 * delta0, 1e-4, 1 - 1e-4)
     sh["d0_c"] = jnp.minimum(c0 + jnp.sum(on_path, axis=0), float(CNT_CAP))
 
-    # ---- d1: path elements per block
+    # ---- d1/d2: path elements per block
     slots1 = jnp.take_along_axis(aux["d1row"], n8, axis=1)   # (B, 8)
     sh["d1"] = sh["d1"].at[aux["b1"][:, None], n8].set(
         _slot_update(slots1, t8))
+    slots2 = jnp.take_along_axis(aux["d2row"], n8, axis=1)
+    sh["d2"] = sh["d2"].at[aux["b2"][:, None], n8].set(
+        _slot_update(slots2, t8))
 
     # ---- match confidence: aggregated per (model, length bucket)
     hit = (aux["exp_bit"].astype(jnp.float32) == target[:, None, :])

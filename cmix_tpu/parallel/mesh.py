@@ -42,6 +42,7 @@ _SH_TP = {
     "bank": 1,        # (NM, R, 256) -> shard rows
     "match_tbl": 1,   # (NM, M)
     "d1": 0,          # (256, 256)
+    "d2": 0,          # (65536, 256)
     "ind_tbl": 0,
 }
 

@@ -43,9 +43,15 @@ def load_state(path, like):
 
 def pretrain_cache_key(cfg, dict_bytes):
     from cmix_tpu.version import FORMAT_VERSION
+    from cmix_tpu.engine import init_shared
     h = hashlib.sha256()
     h.update(str(FORMAT_VERSION).encode())
     h.update(repr(cfg).encode())
+    # bind the key to the actual state structure so any ensemble change
+    # invalidates cached pretrained states
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            init_shared(cfg))[0]:
+        h.update(str((path, leaf.shape, str(leaf.dtype))).encode())
     h.update(dict_bytes)
     return h.hexdigest()[:24]
 
