@@ -54,6 +54,12 @@ def _load_native():
                        ctypes.c_char_p, ctypes.c_int64]
     lib.detect_chunks.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                   ctypes.c_int64, ctypes.c_char_p]
+    for fn in (lib.exe_encode, lib.exe_decode):
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                       ctypes.c_int64]
+    lib.exe_score.restype = ctypes.c_int64
+    lib.exe_score.argtypes = [ctypes.c_char_p, ctypes.c_int64]
     return lib
 
 
@@ -214,3 +220,126 @@ def detect_text_chunks(data: bytes, chunk: int = 4096):
                      | ((seg >= 32) & (seg < 127))).sum()
         types[c] = 1 if printable * 100 >= len(seg) * 90 else 0
     return types
+
+
+# ------------------------------------------------------- EXE x86 transform
+
+
+def exe_encode(data: bytes) -> bytes:
+    """E8/E9 rel32 -> absolute transform (self-inverse pair with
+    exe_decode; cf. encode_exe, preprocessor.cpp:377-441)."""
+    if _LIB is None:
+        return _exe_py(data, True)
+    out = ctypes.create_string_buffer(len(data) or 1)
+    n = _LIB.exe_encode(data, len(data), out, len(data))
+    return out.raw[:n] if n >= 0 else data
+
+
+def exe_decode(data: bytes) -> bytes:
+    if _LIB is None:
+        return _exe_py(data, False)
+    out = ctypes.create_string_buffer(len(data) or 1)
+    n = _LIB.exe_decode(data, len(data), out, len(data))
+    return out.raw[:n] if n >= 0 else data
+
+
+def _exe_py(data: bytes, enc: bool) -> bytes:
+    import struct as _st
+    out = bytearray(data)
+    n = len(data)
+    i = 0
+    while i + 4 < n:
+        if data[i] in (0xE8, 0xE9):
+            v = _st.unpack_from("<i", data, i + 1)[0]
+            y = v if enc else v - i
+            if -(1 << 24) < y < (1 << 24):
+                _st.pack_into("<i", out, i + 1,
+                              (v + i) if enc else (v - i))
+                i += 5
+                continue
+        i += 1
+    return bytes(out)
+
+
+def exe_score(data: bytes) -> int:
+    if _LIB is None:
+        cnt = 0
+        import struct as _st
+        for i in range(len(data) - 4):
+            if data[i] in (0xE8, 0xE9):
+                y = _st.unpack_from("<i", data, i + 1)[0]
+                if -(1 << 22) < y < (1 << 22):
+                    cnt += 1
+        return cnt
+    return int(_LIB.exe_score(data, len(data)))
+
+
+# ------------------------------------------------- segmented preprocessing
+
+SEG_RAW, SEG_TEXT, SEG_EXE = 0, 1, 2
+_DETECT_CHUNK = 1 << 16
+
+
+def transform(data: bytes, dictionary=None):
+    """Detect content types and apply per-segment transforms.
+
+    Returns (payload, segments) with segments = [(type, enc_len,
+    raw_len)].  Capability parity with the reference's block segmentation
+    (preprocessor.cpp:542-563): TEXT -> WRT (when a dictionary is given
+    and it shrinks), EXE -> E8/E9 absolutization, else raw.
+    """
+    if not data:
+        return data, [(SEG_RAW, 0, 0)]
+    n = len(data)
+    types = []
+    for lo in range(0, n, _DETECT_CHUNK):
+        chunk = data[lo:lo + _DETECT_CHUNK]
+        tt = detect_text_chunks(chunk, chunk=len(chunk) or 1)
+        if tt.mean() >= 0.9:
+            types.append(SEG_TEXT)
+        elif exe_score(chunk) * 400 >= len(chunk):
+            types.append(SEG_EXE)
+        else:
+            types.append(SEG_RAW)
+    # merge adjacent same-type detection chunks into segments
+    segs = []
+    start = 0
+    for i in range(1, len(types) + 1):
+        if i == len(types) or types[i] != types[start // _DETECT_CHUNK]:
+            segs.append((types[start // _DETECT_CHUNK], start,
+                         min(i * _DETECT_CHUNK, n)))
+            start = i * _DETECT_CHUNK
+    payload = bytearray()
+    meta = []
+    for typ, lo, hi in segs:
+        raw = data[lo:hi]
+        if typ == SEG_TEXT and dictionary is not None:
+            enc = dictionary.encode(raw)
+            if len(enc) < len(raw):
+                payload += enc
+                meta.append((SEG_TEXT, len(enc), len(raw)))
+                continue
+        if typ == SEG_EXE:
+            enc = exe_encode(raw)
+            payload += enc
+            meta.append((SEG_EXE, len(enc), len(raw)))
+            continue
+        payload += raw
+        meta.append((SEG_RAW, len(raw), len(raw)))
+    return bytes(payload), meta
+
+
+def untransform(payload: bytes, meta, dictionary=None) -> bytes:
+    out = bytearray()
+    off = 0
+    for typ, enc_len, raw_len in meta:
+        seg = payload[off:off + enc_len]
+        off += enc_len
+        if typ == SEG_TEXT:
+            assert dictionary is not None
+            out += dictionary.decode(seg)
+        elif typ == SEG_EXE:
+            out += exe_decode(seg)
+        else:
+            out += seg
+    return bytes(out)

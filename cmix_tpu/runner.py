@@ -16,7 +16,9 @@ Archive format v2:
   | u64 payload_len | u32 n_blocks | 8s dict_fingerprint
   | n_blocks * u32 comp_len   (high bit set => block stored raw)
   | concatenated block streams
-flags: bit0 = WRT transform applied, bit1 = dictionary-pretrained models.
+flags: bit0 = segmented preprocessing applied (per-segment WRT/EXE
+transforms; segment table follows the fixed header), bit1 =
+dictionary-pretrained models.
 exec_batch: the device batch size the archive was coded at.  f32 model
 math is bit-identical between encode and decode only when both run the
 same executable, and the batch size is part of the compiled shape -- so
@@ -103,17 +105,16 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     ``cmix -c [dictionary]`` mode.
     """
     flags = 0
-    payload = data
     d, dict_bytes, fp = _load_dictionary(dictionary)
     base = None
+    from cmix_tpu.preprocess.wrt import transform
+    payload, seg_meta = transform(data, d)
+    if len(payload) >= len(data) and all(
+            t == 0 for t, _, _ in seg_meta):
+        payload, seg_meta = data, None       # nothing transformed
+    else:
+        flags |= _FLAG_WRT
     if d is not None:
-        from cmix_tpu.preprocess.wrt import detect_text_chunks
-        types = detect_text_chunks(data)
-        if len(data) and types.mean() >= 0.9:
-            transformed = d.encode(data)
-            if len(transformed) < len(data):
-                payload = transformed
-                flags |= _FLAG_WRT
         base = _pretrained_base(cfg, dict_bytes)
         flags |= _FLAG_PRETRAIN
 
@@ -149,10 +150,14 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         _HDR, FORMAT_VERSION, flags, cfg.block_size.bit_length() - 1,
         cfg.tbits, cfg.mbits, cfg.ibits, cfg.lstm_hidden, eb,
         len(data), len(payload), nb, fp)
+    segtbl = b""
+    if flags & _FLAG_WRT:
+        segtbl = struct.pack("<I", len(seg_meta)) + b"".join(
+            struct.pack("<BII", t, el, rl) for t, el, rl in seg_meta)
     lens = b"".join(
         struct.pack("<I", (len(s) | (_RAW_FLAG if raw else 0)))
         for raw, s in streams)
-    return header + lens + b"".join(s for _, s in streams)
+    return header + segtbl + lens + b"".join(s for _, s in streams)
 
 
 def decompress(archive: bytes, max_batch: int = 64,
@@ -166,7 +171,7 @@ def decompress(archive: bytes, max_batch: int = 64,
                        ibits=ibits, lstm_hidden=lstm_hidden)
     d, dict_bytes, fp2 = _load_dictionary(dictionary)
     base = None
-    if flags & (_FLAG_WRT | _FLAG_PRETRAIN):
+    if flags & _FLAG_PRETRAIN:
         assert d is not None, "archive requires the dictionary it was " \
             "compressed with (pass dictionary=...)"
         assert fp == fp2, "dictionary fingerprint mismatch"
@@ -174,6 +179,15 @@ def decompress(archive: bytes, max_batch: int = 64,
         base = _pretrained_base(cfg, dict_bytes)
 
     off = 4 + _HDR_LEN
+    seg_meta = None
+    if flags & _FLAG_WRT:
+        (nseg,) = struct.unpack("<I", archive[off:off + 4])
+        off += 4
+        seg_meta = []
+        for _ in range(nseg):
+            t, el, rl = struct.unpack("<BII", archive[off:off + 9])
+            seg_meta.append((t, el, rl))
+            off += 9
     lens = struct.unpack("<" + "I" * nb, archive[off:off + 4 * nb])
     off += 4 * nb
     streams = []
@@ -207,7 +221,8 @@ def decompress(archive: bytes, max_batch: int = 64,
             out_parts[lo + j] = s if raw else bytes(hist[j].tobytes())
     payload = b"".join(out_parts)[:payload_len]
     if flags & _FLAG_WRT:
-        payload = d.decode(payload)
+        from cmix_tpu.preprocess.wrt import untransform
+        payload = untransform(payload, seg_meta, d)
     assert len(payload) == orig_len, \
         f"decoded length {len(payload)} != {orig_len}"
     return payload

@@ -196,3 +196,59 @@ void detect_chunks(const uint8_t* in, int64_t n, int64_t chunk,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- EXE x86
+// E8/E9 (call/jmp rel32) absolutization, capability parity with
+// encode_exe (preprocessor.cpp:377-441; different scheme, self-inverse).
+// A rel32 operand y at position i+1 becomes (y + i) when |y| < 1<<24.
+
+extern "C" {
+
+int64_t exe_encode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
+  if (cap < n) return -1;
+  memcpy(out, in, n);
+  for (int64_t i = 0; i + 4 < n; ++i) {
+    if (in[i] == 0xE8 || in[i] == 0xE9) {
+      int32_t y;
+      memcpy(&y, in + i + 1, 4);
+      if (y > -(1 << 24) && y < (1 << 24)) {
+        int32_t a = y + (int32_t)i;
+        memcpy(out + i + 1, &a, 4);
+        i += 4;
+      }
+    }
+  }
+  return n;
+}
+
+int64_t exe_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
+  if (cap < n) return -1;
+  memcpy(out, in, n);
+  for (int64_t i = 0; i + 4 < n; ++i) {
+    if (in[i] == 0xE8 || in[i] == 0xE9) {
+      int32_t a;
+      memcpy(&a, in + i + 1, 4);
+      int32_t y = a - (int32_t)i;
+      if (y > -(1 << 24) && y < (1 << 24)) {
+        memcpy(out + i + 1, &y, 4);
+        i += 4;
+      }
+    }
+  }
+  return n;
+}
+
+// E8/E9 density probe for detection (cf. preprocessor.cpp:126-143)
+int64_t exe_score(const uint8_t* in, int64_t n) {
+  int64_t score = 0;
+  for (int64_t i = 0; i + 4 < n; ++i) {
+    if (in[i] == 0xE8 || in[i] == 0xE9) {
+      int32_t y;
+      memcpy(&y, in + i + 1, 4);
+      if (y > -(1 << 22) && y < (1 << 22)) ++score;
+    }
+  }
+  return score;
+}
+
+}  // extern "C"

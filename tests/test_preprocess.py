@@ -51,3 +51,44 @@ def test_detect_chunks():
     types = wrt.detect_text_chunks(text + binary, chunk=4096)
     assert types[0] == 1
     assert types[-1] == 0
+
+
+EXE_SAMPLE = "/root/repo/.ref_build/cmix"
+
+
+def _exe_bytes(n):
+    import os
+    if os.path.exists(EXE_SAMPLE):
+        return open(EXE_SAMPLE, "rb").read()[:n]
+    # synthetic x86-ish stream with E8/E9 rel32 sites
+    rng = np.random.RandomState(3)
+    raw = bytearray(rng.bytes(n))
+    for i in range(0, n - 8, 64):
+        raw[i] = 0xE8
+        raw[i + 1:i + 5] = int(rng.randint(-1000, 1000) & 0xFFFFFFFF
+                               ).to_bytes(4, "little")
+    return bytes(raw)
+
+
+def test_exe_transform_roundtrip():
+    data = _exe_bytes(100000)
+    enc = wrt.exe_encode(data)
+    assert enc != data
+    assert wrt.exe_decode(enc) == data
+
+
+def test_exe_python_twin_matches():
+    if wrt._LIB is None:
+        pytest.skip("native lib unavailable")
+    data = _exe_bytes(50000)
+    assert wrt.exe_encode(data) == wrt._exe_py(data, True)
+
+
+def test_segmented_transform(d):
+    text = open("/root/reference/COPYING", "rb").read()
+    exe = _exe_bytes(150000)
+    data = exe + text + bytes(range(256)) * 16
+    payload, meta = wrt.transform(data, d)
+    assert wrt.untransform(payload, meta, d) == data
+    types = [t for t, _, _ in meta]
+    assert wrt.SEG_EXE in types
