@@ -134,18 +134,21 @@ def init_shared(cfg: EngineConfig):
                          dtype=jnp.uint32),
         "d0_p": jnp.full(256, 0.5, dtype=jnp.float32),
         "d0_c": jnp.zeros(256, dtype=jnp.float32),
-        "d1": jnp.full((256, 256), _SLOT_INIT, dtype=jnp.uint32),
-        "d2": jnp.full((65536, 256), _SLOT_INIT, dtype=jnp.uint32),
-        "ind_tbl": jnp.zeros(1 << cfg.ibits, dtype=jnp.uint32),
-        "match_tbl": jnp.zeros((N_MATCH, 1 << cfg.mbits), dtype=jnp.int32),
+        # exact order-1 + order-2 direct models in one row arena:
+        # rows [0,256) keyed by last byte, [256, 256+65536) by last 2
+        "d12": jnp.full((256 + 65536, 256), _SLOT_INIT, dtype=jnp.uint32),
+        # match tables (N_MATCH x 2^mbits) and the indirect-hash table
+        # share one flat uint32 arena so their updates are one scatter
+        "aux_tbl": jnp.zeros(N_MATCH * (1 << cfg.mbits) + (1 << cfg.ibits),
+                             dtype=jnp.uint32),
         "match_conf": jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32),
         "w1": jnp.full((_MIX1_TOTAL, N_INPUTS), 1.0 / N_INPUTS,
                        dtype=jnp.float32),
         "bias1": jnp.zeros((N_MIX1, 256), dtype=jnp.float32),
         "w2": jnp.full((8, N_MIX1), 1.0 / N_MIX1, dtype=jnp.float32),
         "bias2": jnp.zeros(256, dtype=jnp.float32),
-        "apm1": jnp.tile(_apm_row(), (256, 1)),
-        "apm2": jnp.tile(_apm_row(), (64, 1)),
+        # APM rows [0,256) gated by last byte, [256, 320) by match state
+        "apm": jnp.tile(_apm_row(), (320, 1)),
     }
     if cfg.lstm_hidden:
         sh["lstm"] = init_lstm_shared(LstmConfig(hidden=cfg.lstm_hidden))
@@ -296,13 +299,11 @@ def _predict_tree_b(cfg, sh, pb):
 
     b1 = (cs["last4"] & jnp.uint32(0xFF)).astype(jnp.int32)  # (B,)
     st_d0 = jnp.broadcast_to(_stretch_f(sh["d0_p"])[None], (B, 256))
-    d1row = sh["d1"][b1]                                     # (B, 256)
-    st_d1 = ((d1row >> jnp.uint32(18)).astype(jnp.float32)
-             - 4096.0) * (1.0 / 256.0)
     b2 = (cs["last4"] & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    d2row = sh["d2"][b2]                                     # (B, 256)
-    st_d2 = ((d2row >> jnp.uint32(18)).astype(jnp.float32)
-             - 4096.0) * (1.0 / 256.0)
+    d12_idx = jnp.stack([b1, 256 + b2], axis=1)              # (B, 2)
+    d12rows = sh["d12"][d12_idx]                             # (B, 2, 256)
+    st_d12 = ((d12rows >> jnp.uint32(18)).astype(jnp.float32)
+              - 4096.0) * (1.0 / 256.0)
 
     # match: cursors may point into ANY block's history (cross-block refs)
     exp_byte = pb["hist"][
@@ -330,8 +331,8 @@ def _predict_tree_b(cfg, sh, pb):
         st_lstm = jnp.zeros((B, 1, 256), jnp.float32)
 
     x = jnp.concatenate(
-        [st_bank, st_d0[:, None, :], st_d1[:, None, :], st_d2[:, None, :],
-         st_match, st_lstm], axis=1)                         # (B, NIN, 256)
+        [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm],
+        axis=1)                                              # (B, NIN, 256)
 
     longest = (jnp.max(jnp.where(pb["match_len"] > 0, lenb, 0), axis=1) * 2
                + jnp.max(jnp.where(pb["match_len"] > 0,
@@ -372,16 +373,17 @@ def _predict_tree_b(cfg, sh, pb):
         bb = jnp.take_along_axis(tbl_rows, tl + 1, axis=1)
         return a * (1 - frac) + bb * frac, tl, frac
 
-    apm1_rows = sh["apm1"][b1]                               # (B, 33)
-    apm2_rows = sh["apm2"][longest]
-    pa1, t1, f1 = apm(apm1_rows, p_mix)
-    pa2, t2, f2 = apm(apm2_rows, p_mix)
+    apm_idx = jnp.stack([b1, 256 + longest], axis=1)         # (B, 2)
+    apm_rows = sh["apm"][apm_idx]                            # (B, 2, 33)
+    pa1, t1, f1 = apm(apm_rows[:, 0], p_mix)
+    pa2, t2, f2 = apm(apm_rows[:, 1], p_mix)
     pa = jnp.clip(0.5 * (pa1 + pa2), 1e-6, 1 - 1e-6)
     st_fin = 0.4 * _stretch_f(p_mix) + 0.6 * _stretch_f(pa)
     p_tree = _squash_f(st_fin)                               # (B, 256)
 
-    aux = dict(rowi=rowi, rows=rows, b1=b1, b2=b2, d1row=d1row,
-               d2row=d2row, alive=alive, exp_bit=exp_bit, lenb=lenb,
+    aux = dict(rowi=rowi, rows=rows, b1=b1, d12_idx=d12_idx,
+               d12rows=d12rows, apm_idx=apm_idx, apm_rows=apm_rows,
+               alive=alive, exp_bit=exp_bit, lenb=lenb,
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
                w_level=w_level, p1=p1, st1=st1, p_mix=p_mix,
                longest=longest, t1=t1, f1=f1, t2=t2, f2=f2, p_tree=p_tree)
@@ -412,13 +414,15 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     t8 = ((byte[:, None] >> (7 - jnp.arange(8))[None, :]) & 1
           ).astype(jnp.float32)                              # (B, 8)
 
-    # ---- bank: path-slot counter updates, element scatter
-    slots = jnp.take_along_axis(aux["rows"], n8[:, None, :], axis=2)
-    packed = _slot_update(slots, t8[:, None, :])             # (B, NM, 8)
+    # ---- bank: masked in-row slot updates, one row-window scatter
+    # (row windows are ~2.3x cheaper than per-element scatters on TPU and
+    # per-scatter-op overhead dominates, so every table writes full rows)
+    onp_b = on_path.astype(jnp.bool_)
+    newrows = jnp.where(onp_b[:, None, :],
+                        _slot_update(aux["rows"], target[:, None, :]),
+                        aux["rows"])
     m_ar = jnp.arange(N_BANK)
-    sh["bank"] = sh["bank"].at[
-        m_ar[None, :, None], aux["rowi"][:, :, None], n8[:, None, :]
-    ].set(packed)
+    sh["bank"] = sh["bank"].at[m_ar[None, :], aux["rowi"]].set(newrows)
 
     # ---- d0: aggregated dense update (shared order-0 stats)
     c0 = sh["d0_c"]
@@ -427,24 +431,24 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     sh["d0_p"] = jnp.clip(sh["d0_p"] + r0 * delta0, 1e-4, 1 - 1e-4)
     sh["d0_c"] = jnp.minimum(c0 + jnp.sum(on_path, axis=0), float(CNT_CAP))
 
-    # ---- d1/d2: path elements per block
-    slots1 = jnp.take_along_axis(aux["d1row"], n8, axis=1)   # (B, 8)
-    sh["d1"] = sh["d1"].at[aux["b1"][:, None], n8].set(
-        _slot_update(slots1, t8))
-    slots2 = jnp.take_along_axis(aux["d2row"], n8, axis=1)
-    sh["d2"] = sh["d2"].at[aux["b2"][:, None], n8].set(
-        _slot_update(slots2, t8))
+    # ---- d1/d2 arena: masked row updates, one scatter
+    newd = jnp.where(onp_b[:, None, :],
+                     _slot_update(aux["d12rows"], target[:, None, :]),
+                     aux["d12rows"])
+    sh["d12"] = sh["d12"].at[aux["d12_idx"]].set(newd)
 
-    # ---- match confidence: aggregated per (model, length bucket)
+    # ---- match confidence: dense one-hot aggregation (no scatter)
     hit = (aux["exp_bit"].astype(jnp.float32) == target[:, None, :])
     af = aux["alive"].astype(jnp.float32)
     wsum = af * on_path[:, None, :]                          # (B, 2, 256)
     n_alive = jnp.sum(wsum, axis=2)                          # (B, 2)
     frac_hit = jnp.sum(hit * wsum, axis=2) / jnp.maximum(n_alive, 1.0)
     derr = (frac_hit - aux["conf"]) * 0.03 * jnp.minimum(n_alive, 1.0)
-    sh["match_conf"] = sh["match_conf"].at[
-        jnp.arange(N_MATCH)[None, :], aux["lenb"]].add(derr)
-    sh["match_conf"] = jnp.clip(sh["match_conf"], 1e-3, 1 - 1e-3)
+    oh_len = (jnp.arange(32)[None, None, :]
+              == aux["lenb"][:, :, None]).astype(jnp.float32)
+    sh["match_conf"] = jnp.clip(
+        sh["match_conf"] + jnp.sum(oh_len * derr[:, :, None], axis=0),
+        1e-3, 1 - 1e-3)
 
     # ---- mixers
     err1 = (target[:, None, :] - aux["p1"]) * on_path[:, None, :]  # (B,8,256)
@@ -463,36 +467,51 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     sh["w2"] = sh["w2"] + MIX_LR * dw2
     sh["bias2"] = sh["bias2"] + MIX_LR * jnp.sum(err2, axis=0)
 
-    # ---- APMs: path-node interpolation entries, scatter-add
+    # ---- APMs: in-row one-hot updates, one row scatter
     p_tree_p = jnp.take_along_axis(aux["p_tree"], n8, axis=1)  # (B, 8)
     errp = (t8 - p_tree_p) * APM_RATE
+    j33 = jnp.arange(33)
 
-    def apm_upd(tbl, ctx, tl, frac):
+    def apm_row_delta(tl, frac):
         tl_p = jnp.take_along_axis(tl, n8, axis=1)           # (B, 8)
         f_p = jnp.take_along_axis(frac, n8, axis=1)
-        cb = jnp.broadcast_to(ctx[:, None], tl_p.shape)
-        tbl = tbl.at[cb, tl_p].add((1 - f_p) * errp)
-        tbl = tbl.at[cb, tl_p + 1].add(f_p * errp)
-        return jnp.clip(tbl, 1e-4, 1 - 1e-4)
+        oh_l = (j33[None, None, :] == tl_p[:, :, None]).astype(jnp.float32)
+        oh_r = (j33[None, None, :]
+                == (tl_p + 1)[:, :, None]).astype(jnp.float32)
+        return jnp.sum(oh_l * ((1 - f_p) * errp)[:, :, None]
+                       + oh_r * (f_p * errp)[:, :, None], axis=1)
 
-    sh["apm1"] = apm_upd(sh["apm1"], aux["b1"], aux["t1"], aux["f1"])
-    sh["apm2"] = apm_upd(sh["apm2"], aux["longest"], aux["t2"], aux["f2"])
+    d_apm = jnp.stack([apm_row_delta(aux["t1"], aux["f1"]),
+                       apm_row_delta(aux["t2"], aux["f2"])], axis=1)
+    newapm = jnp.clip(aux["apm_rows"] + d_apm, 1e-4, 1 - 1e-4)
+    sh["apm"] = sh["apm"].at[aux["apm_idx"]].set(newapm)
     return sh
 
 
-def _match_byte_update_b(cfg, sh, pb, byte, t):
-    """Reposition match cursors; insert cross-block continuations
-    (cf. src/models/match.cpp:48-60; value packs (block, position))."""
+def _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev, ind_prev_val):
+    """Match-cursor repositioning + match/indirect table writes, merged
+    into ONE scatter on the shared aux arena
+    (cf. src/models/match.cpp:48-60, src/contexts/indirect-hash.cpp)."""
     mmask = jnp.uint32((1 << cfg.mbits) - 1)
     cs = pb["ctx"]  # already advanced to include byte
     B = byte.shape[0]
     bar = jnp.arange(B)
     hs = jnp.stack([cs["ohash"][:, o] for o in MATCH_ORDERS], axis=1)
     h = (mix32(hs, jnp.uint32(0x2545F491)) & mmask).astype(jnp.int32)
-    mm = jnp.arange(N_MATCH)
-    cand = sh["match_tbl"][mm[None, :], h]                   # (B, 2)
-    ins = ((bar[:, None] << POS_BITS) | (t + 1)).astype(jnp.int32)
-    sh["match_tbl"] = sh["match_tbl"].at[mm[None, :], h].set(ins)
+    moff = jnp.arange(N_MATCH, dtype=jnp.int32) * (1 << cfg.mbits)
+    midx = moff[None, :] + h                                 # (B, 2)
+    cand = sh["aux_tbl"][midx].astype(jnp.int32)             # (B, 2)
+    ins = jnp.broadcast_to(
+        ((bar[:, None] << POS_BITS) | (t + 1)).astype(jnp.uint32),
+        (B, N_MATCH))
+
+    ind_base = N_MATCH * (1 << cfg.mbits)
+    newv = mix32(ind_prev_val, byte.astype(jnp.uint32))
+    widx = jnp.concatenate(
+        [midx, (ind_base + ind_key_prev)[:, None]], axis=1)  # (B, 3)
+    wval = jnp.concatenate([ins, newv[:, None]], axis=1)
+    sh["aux_tbl"] = sh["aux_tbl"].at[widx].set(wval)
+
     pred = pb["hist"][pb["mp_blk"],
                       jnp.clip(pb["mp_pos"], 0, cfg.block_size - 1)
                       ].astype(jnp.int32)
@@ -516,8 +535,9 @@ def make_byte_step(cfg: EngineConfig):
     def byte_step(sh, pb, cd, comp, inp_byte_b, t, mode):
         """One byte for every block. inp_byte_b: (B,) uint8; t scalar."""
         B = inp_byte_b.shape[0]
-        bar = jnp.arange(B)
+        ind_base = N_MATCH * (1 << cfg.mbits)
         ind_key_prev = (pb["ctx"]["last4"] & imask).astype(jnp.int32)
+        ind_prev_val = sh["aux_tbl"][ind_base + ind_key_prev]
 
         p_tree, aux = _predict_tree_b(cfg, sh, pb)
         p16_tree = jnp.clip((p_tree * 65536.0).astype(jnp.int32),
@@ -544,16 +564,12 @@ def make_byte_step(cfg: EngineConfig):
             pb["hist"], byte.astype(jnp.uint8)[:, None],
             (0, t % cfg.block_size))
 
-        # indirect history-of-hashes (cf. src/contexts/indirect-hash.cpp)
-        newv = mix32(sh["ind_tbl"][ind_key_prev], byte.astype(jnp.uint32))
-        sh["ind_tbl"] = sh["ind_tbl"].at[ind_key_prev].set(newv)
-
         pb["ctx"] = update_ctx_state_batched(
             pb["ctx"], byte.astype(jnp.uint32))
+        sh, pb = _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev,
+                               ind_prev_val)
         ind_key_new = (pb["ctx"]["last4"] & imask).astype(jnp.int32)
-        pb["ind_val"] = sh["ind_tbl"][ind_key_new]
-
-        sh, pb = _match_byte_update_b(cfg, sh, pb, byte, t)
+        pb["ind_val"] = sh["aux_tbl"][ind_base + ind_key_new]
         if cfg.lstm_hidden:
             sh["lstm"], pb["lstm"] = lstm_shared_byte_update(
                 LstmConfig(hidden=cfg.lstm_hidden),
@@ -707,9 +723,11 @@ def make_pretrainer(cfg: EngineConfig):
             # t wraps so history writes stay in range
             t0 = jnp.int32((si * s) % cfg.block_size)
             sh, pb, cd, _, _ = seg_jit(sh, pb, cd, t0, seg, comp, mode)
-        # match table entries point into the discarded pretrain history
+        # match entries point into the discarded pretrain history: zero
+        # the match region of the aux arena (indirect-hash region stays)
         sh = dict(sh)
-        sh["match_tbl"] = jnp.zeros_like(sh["match_tbl"])
+        mlen = N_MATCH * (1 << cfg.mbits)
+        sh["aux_tbl"] = sh["aux_tbl"].at[:mlen].set(0)
         return sh
 
     return pretrain

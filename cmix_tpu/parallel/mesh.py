@@ -40,10 +40,8 @@ def make_mesh(n_dp, n_tp=1, devices=None):
 # shared-state arrays whose table axis is sharded over tp
 _SH_TP = {
     "bank": 1,        # (NM, R, 256) -> shard rows
-    "match_tbl": 1,   # (NM, M)
-    "d1": 0,          # (256, 256)
-    "d2": 0,          # (65536, 256)
-    "ind_tbl": 0,
+    "aux_tbl": 0,     # flat match+indirect arena
+    "d12": 0,         # (256+65536, 256)
 }
 
 
