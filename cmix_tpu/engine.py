@@ -149,6 +149,9 @@ def init_shared(cfg: EngineConfig):
         "bias2": jnp.zeros(256, dtype=jnp.float32),
         # APM rows [0,256) gated by last byte, [256, 320) by match state
         "apm": jnp.tile(_apm_row(), (320, 1)),
+        # vocabulary forcing per tree node: 0 none, 1 force-0, 2 force-1
+        # (cf. the reference's vocab bitmap, src/runner.cpp:44-51)
+        "vocab_force": jnp.zeros(256, dtype=jnp.int32),
     }
     if cfg.lstm_hidden:
         sh["lstm"] = init_lstm_shared(LstmConfig(hidden=cfg.lstm_hidden))
@@ -541,7 +544,11 @@ def make_byte_step(cfg: EngineConfig):
 
         p_tree, aux = _predict_tree_b(cfg, sh, pb)
         p16_tree = jnp.clip((p_tree * 65536.0).astype(jnp.int32),
-                            64, 65472).astype(jnp.uint32)
+                            64, 65472)
+        vf = sh["vocab_force"][None, :]
+        p16_tree = jnp.where(vf == 1, 64,
+                             jnp.where(vf == 2, 65472, p16_tree)
+                             ).astype(jnp.uint32)
 
         # ---- the only sequential part: 8 coder steps walking the tree
         byte_acc = jnp.ones(B, jnp.int32)

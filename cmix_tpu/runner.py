@@ -35,6 +35,40 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+
+def _vocab_bitmap(data: bytes) -> bytes:
+    """32-byte presence bitmap (byte 0 always present: block padding)."""
+    present = np.zeros(256, dtype=bool)
+    present[0] = True
+    if data:
+        present[np.unique(np.frombuffer(data, dtype=np.uint8))] = True
+    bits = np.packbits(present)
+    return bits.tobytes()
+
+
+def _vocab_force(bitmap: bytes):
+    """Per-tree-node forcing array from the presence bitmap.
+
+    Node n at level L covers bytes [lo, lo+span); its bit splits the
+    interval in half.  If the upper half has no present bytes the bit is
+    forced to 0 (and vice versa)."""
+    present = np.unpackbits(np.frombuffer(bitmap, dtype=np.uint8)
+                            ).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(present)])
+    force = np.zeros(256, dtype=np.int32)
+    for n in range(1, 256):
+        lev = n.bit_length() - 1
+        span = 256 >> lev
+        lo = (n - (1 << lev)) * span
+        mid, hi = lo + span // 2, lo + span
+        left = cum[mid] - cum[lo]
+        right = cum[hi] - cum[mid]
+        if right == 0 and left > 0:
+            force[n] = 1
+        elif left == 0 and right > 0:
+            force[n] = 2
+    return force
+
 from cmix_tpu.version import FORMAT_VERSION, MAGIC
 from cmix_tpu.engine import (
     EngineConfig, init_shared, init_perblock, make_transcoder,
@@ -44,7 +78,7 @@ _RAW_FLAG = 0x80000000
 _FLAG_WRT = 1
 _FLAG_PRETRAIN = 2
 
-_HDR = "<BBBBBBHHQQI8s"
+_HDR = "<BBBBBBHHQQI8s32s"
 _HDR_LEN = struct.calcsize(_HDR)
 
 _TRANSCODER_CACHE = {}
@@ -123,6 +157,8 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     nb = blocks.shape[0]
     eb = min(max_batch, nb)                  # exec batch: format-relevant
     trans = get_transcoder(cfg)
+    vocab = _vocab_bitmap(payload)
+    vforce = jnp.asarray(_vocab_force(vocab))
 
     streams = []
     for lo in range(0, nb, eb):
@@ -132,6 +168,7 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
             batch = np.concatenate(
                 [batch, np.zeros((eb - b, n), dtype=np.uint8)], axis=0)
         sh, pb = _group_state(cfg, eb, base)
+        sh["vocab_force"] = vforce
         comp0 = jnp.zeros((eb, cfg.comp_size), dtype=jnp.uint8)
         _, out, out_len = trans(sh, pb, jnp.asarray(batch), comp0,
                                 jnp.int32(MODE_ENCODE))
@@ -149,7 +186,7 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     header = MAGIC + struct.pack(
         _HDR, FORMAT_VERSION, flags, cfg.block_size.bit_length() - 1,
         cfg.tbits, cfg.mbits, cfg.ibits, cfg.lstm_hidden, eb,
-        len(data), len(payload), nb, fp)
+        len(data), len(payload), nb, fp, vocab)
     segtbl = b""
     if flags & _FLAG_WRT:
         segtbl = struct.pack("<I", len(seg_meta)) + b"".join(
@@ -164,7 +201,7 @@ def decompress(archive: bytes, max_batch: int = 64,
                dictionary: str = None) -> bytes:
     assert archive[:4] == MAGIC, "bad magic"
     (ver, flags, log_bs, tbits, mbits, ibits, lstm_hidden, eb, orig_len,
-     payload_len, nb, fp) = struct.unpack(
+     payload_len, nb, fp, vocab) = struct.unpack(
         _HDR, archive[4:4 + _HDR_LEN])
     assert ver == FORMAT_VERSION, f"format version {ver} unsupported"
     cfg = EngineConfig(block_size=1 << log_bs, tbits=tbits, mbits=mbits,
@@ -214,6 +251,7 @@ def decompress(archive: bytes, max_batch: int = 64,
                 comp[j, :len(s)] = np.frombuffer(s, dtype=np.uint8)
                 modes[j] = MODE_DECODE
         sh, pb = _group_state(cfg, eb, base)
+        sh["vocab_force"] = jnp.asarray(_vocab_force(vocab))
         hist, _, _ = trans(sh, pb, jnp.asarray(inp), jnp.asarray(comp),
                            jnp.asarray(modes))
         hist = np.asarray(hist)
