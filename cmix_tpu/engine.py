@@ -66,7 +66,14 @@ U8 = jnp.uint32(8)
 N_BANK = 24
 MATCH_ORDERS = (8, 20)
 N_MATCH = len(MATCH_ORDERS)
-N_INPUTS = N_BANK + 3 + N_MATCH + 1   # + d0 + d1 + d2 + match x2 + lstm
+# PPM byte-distribution model: symbol-count tables per order, blended
+# highest-order-first with PPM-C escape estimation (capability class of
+# the reference's mod_ppmd, src/models/ppmd.cpp:956-1155 -- redesigned as
+# dense row gathers instead of a pointer suffix tree).
+PPM_ORDERS = (1, 2, 3, 4, 6, 8, 12)
+N_PPM = len(PPM_ORDERS)
+PPM_INC = 3               # count increment per observation
+N_INPUTS = N_BANK + 3 + N_MATCH + 1 + 1  # +d0+d1+d2+match x2+lstm+ppm
 
 _MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64], dtype=np.int64)
 N_MIX1 = len(_MIX1_ROWS)
@@ -99,6 +106,7 @@ class EngineConfig:
     tbits: int = 20             # log2 slots per bank model (shared)
     mbits: int = 20             # log2 slots per match table (shared)
     ibits: int = 16             # log2 slots of indirect-hash table (shared)
+    pbits: int = 20             # log2 byte slots per PPM order table
     lstm_hidden: int = 256      # 0 disables the LSTM byte mixer
     seg_size: int = 4096        # bytes per device execution segment
 
@@ -111,6 +119,10 @@ class EngineConfig:
     @property
     def rows(self):
         return 1 << max(0, self.tbits - 8)
+
+    @property
+    def prows(self):
+        return 1 << max(0, self.pbits - 8)
 
     @property
     def comp_size(self):
@@ -142,6 +154,8 @@ def init_shared(cfg: EngineConfig):
         "aux_tbl": jnp.zeros(N_MATCH * (1 << cfg.mbits) + (1 << cfg.ibits),
                              dtype=jnp.uint32),
         "match_conf": jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32),
+        # PPM symbol counts: one uint8 count per (order, context row, byte)
+        "ppm": jnp.zeros((N_PPM, cfg.prows, 256), dtype=jnp.uint8),
         "w1": jnp.full((_MIX1_TOTAL, N_INPUTS), 1.0 / N_INPUTS,
                        dtype=jnp.float32),
         "bias1": jnp.zeros((N_MIX1, 256), dtype=jnp.float32),
@@ -333,8 +347,43 @@ def _predict_tree_b(cfg, sh, pb):
     else:
         st_lstm = jnp.zeros((B, 1, 256), jnp.float32)
 
+    # ---- PPM: escape-blended multi-order byte distribution
+    # (capability class of mod_ppmd's SQ[] enumeration + ConvertSQ,
+    # src/models/ppmd.cpp:1130-1155; escapes estimated PPM-C style from
+    # the distinct-symbol count instead of SEE contexts)
+    pmask = jnp.uint32(cfg.prows - 1)
+    psalt = (jnp.asarray(np.array(PPM_ORDERS, dtype=np.uint32))
+             * jnp.uint32(0xB5297A4D))
+    pbase = mix32(jnp.stack([cs["ohash"][:, o] for o in PPM_ORDERS],
+                            axis=1), psalt[None, :])         # (B, NP)
+    prowi = ((pbase >> U8) & pmask).astype(jnp.int32)
+    p_ar = jnp.arange(N_PPM)
+    ppm_rows = sh["ppm"][p_ar[None, :], prowi]               # (B,NP,256) u8
+    pcnt = ppm_rows.astype(jnp.float32)
+    ptot = jnp.sum(pcnt, axis=2)                             # (B, NP)
+    pdst = jnp.sum((pcnt > 0).astype(jnp.float32), axis=2)   # distinct
+    pden = jnp.maximum(ptot + pdst, 1.0)
+    pesc = jnp.where(ptot > 0, pdst / pden, 1.0)             # (B, NP)
+    # weight of order o (descending) = prod of escapes of higher orders
+    esc_rev = pesc[:, ::-1]                                  # high order first
+    wcum = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.float32),
+         jnp.cumprod(esc_rev[:, :-1], axis=1)], axis=1)      # (B, NP)
+    w_ord = (wcum * (1.0 - esc_rev))[:, ::-1]                # back ascending
+    pnorm = pcnt / jnp.maximum(ptot, 1.0)[:, :, None]
+    q = jnp.einsum("bn,bnk->bk", w_ord, pnorm) \
+        + (wcum[:, -1] * esc_rev[:, -1])[:, None] * (1.0 / 256.0)
+    pqcum = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(q, axis=1)], axis=1)
+    q_lo = pqcum[:, jnp.asarray(_LO)]
+    q_hi = pqcum[:, jnp.asarray(_HI)]
+    q_mid = pqcum[:, jnp.asarray(_MID)]
+    p_ppm = jnp.clip((q_hi - q_mid) / jnp.maximum(q_hi - q_lo, 1e-9),
+                     1e-5, 1 - 1e-5)
+    st_ppm = _stretch_f(p_ppm)[:, None, :]                   # (B, 1, 256)
+
     x = jnp.concatenate(
-        [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm],
+        [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm],
         axis=1)                                              # (B, NIN, 256)
 
     longest = (jnp.max(jnp.where(pb["match_len"] > 0, lenb, 0), axis=1) * 2
@@ -385,6 +434,7 @@ def _predict_tree_b(cfg, sh, pb):
     p_tree = _squash_f(st_fin)                               # (B, 256)
 
     aux = dict(rowi=rowi, rows=rows, b1=b1, d12_idx=d12_idx,
+               prowi=prowi, ppm_rows=ppm_rows,
                d12rows=d12rows, apm_idx=apm_idx, apm_rows=apm_rows,
                alive=alive, exp_bit=exp_bit, lenb=lenb,
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
@@ -439,6 +489,20 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
                      _slot_update(aux["d12rows"], target[:, None, :]),
                      aux["d12rows"])
     sh["d12"] = sh["d12"].at[aux["d12_idx"]].set(newd)
+
+    # ---- PPM: increment the observed byte's count; halve the whole row
+    # first when that count would overflow uint8 (rescale ~ ppmd.cpp
+    # rescale semantics: halving preserves ratios, decays old evidence)
+    obs = jnp.take_along_axis(
+        aux["ppm_rows"], byte[:, None, None], axis=2)        # (B, NP, 1)
+    needs_halve = obs >= jnp.uint8(256 - PPM_INC)
+    prow_new = jnp.where(needs_halve, aux["ppm_rows"] >> jnp.uint8(1),
+                         aux["ppm_rows"])
+    byte_oh = (jnp.asarray(_NODE)[None, None, :]
+               == byte[:, None, None]).astype(jnp.uint8)
+    prow_new = prow_new + byte_oh * jnp.uint8(PPM_INC)
+    p_ar = jnp.arange(N_PPM)
+    sh["ppm"] = sh["ppm"].at[p_ar[None, :], aux["prowi"]].set(prow_new)
 
     # ---- match confidence: dense one-hot aggregation (no scatter)
     hit = (aux["exp_bit"].astype(jnp.float32) == target[:, None, :])

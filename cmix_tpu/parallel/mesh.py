@@ -42,6 +42,7 @@ _SH_TP = {
     "bank": 1,        # (NM, R, 256) -> shard rows
     "aux_tbl": 0,     # flat match+indirect arena
     "d12": 0,         # (256+65536, 256)
+    "ppm": 1,         # (NP, R, 256) -> shard rows
 }
 
 

@@ -78,7 +78,7 @@ _RAW_FLAG = 0x80000000
 _FLAG_WRT = 1
 _FLAG_PRETRAIN = 2
 
-_HDR = "<BBBBBBHHQQI8s32s"
+_HDR = "<BBBBBBBHHQQI8s32s"
 _HDR_LEN = struct.calcsize(_HDR)
 
 _TRANSCODER_CACHE = {}
@@ -185,7 +185,7 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
 
     header = MAGIC + struct.pack(
         _HDR, FORMAT_VERSION, flags, cfg.block_size.bit_length() - 1,
-        cfg.tbits, cfg.mbits, cfg.ibits, cfg.lstm_hidden, eb,
+        cfg.tbits, cfg.mbits, cfg.ibits, cfg.pbits, cfg.lstm_hidden, eb,
         len(data), len(payload), nb, fp, vocab)
     segtbl = b""
     if flags & _FLAG_WRT:
@@ -200,12 +200,12 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
 def decompress(archive: bytes, max_batch: int = 64,
                dictionary: str = None) -> bytes:
     assert archive[:4] == MAGIC, "bad magic"
-    (ver, flags, log_bs, tbits, mbits, ibits, lstm_hidden, eb, orig_len,
-     payload_len, nb, fp, vocab) = struct.unpack(
+    (ver, flags, log_bs, tbits, mbits, ibits, pbits, lstm_hidden, eb,
+     orig_len, payload_len, nb, fp, vocab) = struct.unpack(
         _HDR, archive[4:4 + _HDR_LEN])
     assert ver == FORMAT_VERSION, f"format version {ver} unsupported"
     cfg = EngineConfig(block_size=1 << log_bs, tbits=tbits, mbits=mbits,
-                       ibits=ibits, lstm_hidden=lstm_hidden)
+                       ibits=ibits, pbits=pbits, lstm_hidden=lstm_hidden)
     d, dict_bytes, fp2 = _load_dictionary(dictionary)
     base = None
     if flags & _FLAG_PRETRAIN:
