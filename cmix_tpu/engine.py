@@ -53,6 +53,8 @@ import jax.numpy as jnp
 
 from cmix_tpu.contexts.hashes import (
     init_ctx_state, update_ctx_state_batched, mix32, PRIME2)
+from cmix_tpu.states.tables import (
+    NS_NEXT, NS_INIT_P12, RUN_NEXT, RUN_INIT_P12)
 from cmix_tpu.mixer.lstm import (
     LstmConfig, init_lstm_shared, init_lstm_perblock,
     lstm_shared_byte_update)
@@ -73,7 +75,19 @@ N_MATCH = len(MATCH_ORDERS)
 PPM_ORDERS = (1, 2, 3, 4, 6, 8, 12)
 N_PPM = len(PPM_ORDERS)
 PPM_INC = 3               # count increment per observation
-N_INPUTS = N_BANK + 3 + N_MATCH + 1 + 1  # +d0+d1+d2+match x2+lstm+ppm
+# State-machine bank (the reference's Indirect models over bit-history
+# automata, src/models/indirect.cpp:16-31 + src/states/*): slots hold an
+# 8-bit automaton state; prediction comes from a shared learned
+# per-(model, state) probability table.  Bank-base columns used as
+# contexts, re-salted; last model runs the run-length automaton
+# (src/states/run-map.cpp), the rest the nonstationary one
+# (src/states/nonstationary.cpp).
+SBANK_COLS = (0, 1, 2, 3, 5, 7, 10, 14)   # orders 1-4,6,8, word, sparse
+N_SBANK = len(SBANK_COLS)
+SBANK_KIND = (0, 0, 0, 0, 0, 0, 0, 1)     # 0=nonstationary, 1=runmap
+SBANK_RATE = 0.02
+N_INPUTS = (N_BANK + 3 + N_MATCH + 1 + 1 + N_SBANK)
+# bank + d0 + d1 + d2 + match x2 + lstm + ppm + state bank
 
 _MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64], dtype=np.int64)
 N_MIX1 = len(_MIX1_ROWS)
@@ -86,6 +100,13 @@ MIX_LR = 4e-3              # mixer learning rate
 APM_RATE = 0.02            # SSE node update rate
 CNT_CAP = 60               # counter cap: floor adaptive rate ~ 1/62
 POS_BITS = 24              # match table: low bits position, high bits block
+
+# per-model automaton transition tables + initial per-state probabilities
+_SBANK_NEXT = np.stack(
+    [RUN_NEXT if k else NS_NEXT for k in SBANK_KIND])   # (NS, 256, 2) u8
+_SBANK_P0 = np.stack(
+    [(RUN_INIT_P12 if k else NS_INIT_P12).astype(np.float32) / 4096.0
+     for k in SBANK_KIND])                              # (NS, 256)
 
 # static per-node constants (node ids 1..255; 0 unused)
 _NODE = np.arange(256)
@@ -156,6 +177,10 @@ def init_shared(cfg: EngineConfig):
         "match_conf": jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32),
         # PPM symbol counts: one uint8 count per (order, context row, byte)
         "ppm": jnp.zeros((N_PPM, cfg.prows, 256), dtype=jnp.uint8),
+        # state bank: automaton state per (model, context row, tree node)
+        "sbank": jnp.zeros((N_SBANK, cfg.rows, 256), dtype=jnp.uint8),
+        "sbank_p": jnp.asarray(_SBANK_P0),
+        "sbank_st": _stretch_f(jnp.asarray(_SBANK_P0)),
         "w1": jnp.full((_MIX1_TOTAL, N_INPUTS), 1.0 / N_INPUTS,
                        dtype=jnp.float32),
         "bias1": jnp.zeros((N_MIX1, 256), dtype=jnp.float32),
@@ -382,9 +407,20 @@ def _predict_tree_b(cfg, sh, pb):
                      1e-5, 1 - 1e-5)
     st_ppm = _stretch_f(p_ppm)[:, None, :]                   # (B, 1, 256)
 
+    # ---- state bank: automaton states -> per-state learned stretch
+    scols = jnp.asarray(np.array(SBANK_COLS, dtype=np.int64))
+    ssalt = (jnp.arange(N_SBANK, dtype=jnp.uint32) + jnp.uint32(7)) \
+        * jnp.uint32(0x27D4EB2F)
+    srowi = ((mix32(bases[:, scols], ssalt[None, :]) >> U8)
+             & rmask).astype(jnp.int32)                      # (B, NS)
+    s_ar = jnp.arange(N_SBANK)
+    srows = sh["sbank"][s_ar[None, :], srowi]                # (B,NS,256) u8
+    st_sbank = sh["sbank_st"][s_ar[None, :, None],
+                              srows.astype(jnp.int32)]       # (B, NS, 256)
+
     x = jnp.concatenate(
-        [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm],
-        axis=1)                                              # (B, NIN, 256)
+        [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm,
+         st_sbank], axis=1)                                  # (B, NIN, 256)
 
     longest = (jnp.max(jnp.where(pb["match_len"] > 0, lenb, 0), axis=1) * 2
                + jnp.max(jnp.where(pb["match_len"] > 0,
@@ -434,7 +470,7 @@ def _predict_tree_b(cfg, sh, pb):
     p_tree = _squash_f(st_fin)                               # (B, 256)
 
     aux = dict(rowi=rowi, rows=rows, b1=b1, d12_idx=d12_idx,
-               prowi=prowi, ppm_rows=ppm_rows,
+               prowi=prowi, ppm_rows=ppm_rows, srowi=srowi, srows=srows,
                d12rows=d12rows, apm_idx=apm_idx, apm_rows=apm_rows,
                alive=alive, exp_bit=exp_bit, lenb=lenb,
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
@@ -503,6 +539,29 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     prow_new = prow_new + byte_oh * jnp.uint8(PPM_INC)
     p_ar = jnp.arange(N_PPM)
     sh["ppm"] = sh["ppm"].at[p_ar[None, :], aux["prowi"]].set(prow_new)
+
+    # ---- state bank: advance path-node automaton states, adapt the
+    # shared per-(model, state) probability (src/models/indirect.cpp:16-31)
+    s_ar = jnp.arange(N_SBANK)
+    tgt_i = target.astype(jnp.int32)[:, None, :]             # (B, 1, 256)
+    nxt = jnp.asarray(_SBANK_NEXT)[
+        s_ar[None, :, None], aux["srows"].astype(jnp.int32),
+        jnp.broadcast_to(tgt_i, aux["srows"].shape)]         # (B, NS, 256)
+    new_srows = jnp.where(onp_b[:, None, :], nxt, aux["srows"])
+    sh["sbank"] = sh["sbank"].at[s_ar[None, :], aux["srowi"]].set(new_srows)
+
+    s8 = jnp.take_along_axis(
+        aux["srows"], jnp.broadcast_to(
+            n8[:, None, :], (B, N_SBANK, 8)).astype(jnp.int32),
+        axis=2).astype(jnp.int32)                            # (B, NS, 8)
+    pm = sh["sbank_p"][s_ar[None, :, None], s8]              # (B, NS, 8)
+    errs = t8[:, None, :] - pm
+    oh_s = (jnp.arange(256)[None, None, None, :]
+            == s8[:, :, :, None]).astype(jnp.float32)        # (B,NS,8,256)
+    dps = jnp.einsum("bmks,bmk->ms", oh_s, errs)
+    sh["sbank_p"] = jnp.clip(sh["sbank_p"] + SBANK_RATE * dps,
+                             1e-4, 1 - 1e-4)
+    sh["sbank_st"] = _stretch_f(sh["sbank_p"])
 
     # ---- match confidence: dense one-hot aggregation (no scatter)
     hit = (aux["exp_bit"].astype(jnp.float32) == target[:, None, :])

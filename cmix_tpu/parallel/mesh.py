@@ -43,6 +43,7 @@ _SH_TP = {
     "aux_tbl": 0,     # flat match+indirect arena
     "d12": 0,         # (256+65536, 256)
     "ppm": 1,         # (NP, R, 256) -> shard rows
+    "sbank": 1,       # (NS, R, 256) -> shard rows
 }
 
 
