@@ -74,6 +74,21 @@ _IS_LETTER[65:91] = 1
 _IS_LETTER[97:123] = 1
 IS_LETTER = _IS_LETTER
 
+# Bracket/quote maps (parity: src/contexts/bracket-context.cpp:11-35 and
+# the fxcm bracket/quote streams, src/models/fxcmv1.cpp:1932-1997).
+# OPEN[b] = bracket id opened by byte b (1..7), CLOSE[b] = id it closes.
+# Quotes toggle: they both open and close their own id.
+_BR_OPEN = np.zeros(256, dtype=np.uint32)
+_BR_CLOSE = np.zeros(256, dtype=np.uint32)
+for _o, _c, _i in ((40, 41, 1), (91, 93, 2), (123, 125, 3), (60, 62, 4)):
+    _BR_OPEN[_o] = _i
+    _BR_CLOSE[_c] = _i
+for _q, _i in ((34, 5), (39, 6), (96, 7)):
+    _BR_OPEN[_q] = _i
+    _BR_CLOSE[_q] = _i
+BR_OPEN, BR_CLOSE = _BR_OPEN, _BR_CLOSE
+BRK_DEPTH = 16          # bracket stack depth (older entries drop off)
+
 
 def init_ctx_state():
     """Context scalars/vectors (per block, unbatched)."""
@@ -84,6 +99,10 @@ def init_ctx_state():
         "last_word": jnp.zeros((), dtype=jnp.uint32),         # hash of last completed word
         "clsreg": jnp.zeros((), dtype=jnp.uint32),            # byte-class 4-bit register
         "linepos": jnp.zeros((), dtype=jnp.uint32),           # bytes since last newline (capped)
+        # bracket stack: entries pack (bracket id << 24) | open position
+        "brk_stack": jnp.zeros(BRK_DEPTH, dtype=jnp.uint32),
+        "brk_depth": jnp.zeros((), dtype=jnp.uint32),
+        "bytecnt": jnp.zeros((), dtype=jnp.uint32),
     }
 
 
@@ -111,8 +130,50 @@ def update_ctx_state(cs, byte_u32):
               jnp.asarray(BYTE_CLASS)[b])
     linepos = jnp.where(b == jnp.uint32(10), jnp.zeros((), jnp.uint32),
                         jnp.minimum(cs["linepos"] + 1, jnp.uint32(8191)))
+    stack, depth = _brk_step(cs["brk_stack"], cs["brk_depth"],
+                             cs["bytecnt"], b)
     return {"ohash": new_ohash, "last4": last4, "word": word,
-            "last_word": last_word, "clsreg": clsreg, "linepos": linepos}
+            "last_word": last_word, "clsreg": clsreg, "linepos": linepos,
+            "brk_stack": stack, "brk_depth": depth,
+            "bytecnt": cs["bytecnt"] + 1}
+
+
+def _brk_step(stack, depth, pos, b):
+    """One bracket-stack transition (works unbatched or batched: stack
+    (..., D), depth/pos/b (...,))."""
+    open_id = jnp.asarray(BR_OPEN)[b]
+    close_id = jnp.asarray(BR_CLOSE)[b]
+    idx = jnp.clip(depth.astype(jnp.int32) - 1, 0, BRK_DEPTH - 1)
+    top = jnp.take_along_axis(
+        stack.reshape((-1, BRK_DEPTH)), idx.reshape((-1, 1)),
+        axis=1).reshape(depth.shape)
+    top_id = jnp.where(depth > 0, top >> jnp.uint32(24), jnp.uint32(0))
+    do_pop = (close_id > 0) & (top_id == close_id)
+    do_push = (open_id > 0) & ~do_pop
+    entry = (open_id << jnp.uint32(24)) | (pos & jnp.uint32(0xFFFFFF))
+    pidx = jnp.minimum(depth, jnp.uint32(BRK_DEPTH - 1))
+    lane = jnp.arange(BRK_DEPTH, dtype=jnp.uint32)
+    sel = do_push[..., None] & (lane == pidx[..., None])
+    stack = jnp.where(sel, entry[..., None], stack)
+    depth = jnp.where(do_pop, jnp.maximum(depth, 1) - 1,
+                      jnp.where(do_push,
+                                jnp.minimum(depth + 1, BRK_DEPTH), depth))
+    return stack, depth
+
+
+def bracket_ctx(cs):
+    """Batched bracket context value: top bracket id * 64 + capped
+    distance since it opened (parity: bracket-context.cpp:31-34
+    ``limit*(bracket+1)+distance``)."""
+    depth = cs["brk_depth"]
+    idx = jnp.clip(depth.astype(jnp.int32) - 1, 0, BRK_DEPTH - 1)
+    top = jnp.take_along_axis(cs["brk_stack"], idx[:, None], axis=1)[:, 0]
+    tid = jnp.where(depth > 0, top >> jnp.uint32(24), jnp.uint32(0))
+    dist = jnp.where(
+        depth > 0,
+        jnp.minimum(cs["bytecnt"] - (top & jnp.uint32(0xFFFFFF)),
+                    jnp.uint32(63)), jnp.uint32(0))
+    return tid * jnp.uint32(64) + dist
 
 
 def update_ctx_state_batched(cs, bytes_b):
@@ -135,5 +196,9 @@ def update_ctx_state_batched(cs, bytes_b):
     clsreg = (cs["clsreg"] << jnp.uint32(4)) | jnp.asarray(BYTE_CLASS)[b]
     linepos = jnp.where(b == jnp.uint32(10), jnp.zeros_like(cs["linepos"]),
                         jnp.minimum(cs["linepos"] + 1, jnp.uint32(8191)))
+    stack, depth = _brk_step(cs["brk_stack"], cs["brk_depth"],
+                             cs["bytecnt"], b)
     return {"ohash": new_ohash, "last4": last4, "word": word,
-            "last_word": last_word, "clsreg": clsreg, "linepos": linepos}
+            "last_word": last_word, "clsreg": clsreg, "linepos": linepos,
+            "brk_stack": stack, "brk_depth": depth,
+            "bytecnt": cs["bytecnt"] + 1}

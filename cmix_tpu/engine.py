@@ -52,7 +52,7 @@ import jax
 import jax.numpy as jnp
 
 from cmix_tpu.contexts.hashes import (
-    init_ctx_state, update_ctx_state_batched, mix32, PRIME2)
+    init_ctx_state, update_ctx_state_batched, mix32, PRIME2, bracket_ctx)
 from cmix_tpu.states.tables import (
     NS_NEXT, NS_INIT_P12, RUN_NEXT, RUN_INIT_P12)
 from cmix_tpu.mixer.lstm import (
@@ -65,7 +65,7 @@ MODE_DECODE = 1
 M32 = jnp.uint32(0xFFFFFFFF)
 U8 = jnp.uint32(8)
 
-N_BANK = 24
+N_BANK = 25
 MATCH_ORDERS = (8, 20)
 N_MATCH = len(MATCH_ORDERS)
 # PPM byte-distribution model: symbol-count tables per order, blended
@@ -82,14 +82,21 @@ PPM_INC = 3               # count increment per observation
 # contexts, re-salted; last model runs the run-length automaton
 # (src/states/run-map.cpp), the rest the nonstationary one
 # (src/states/nonstationary.cpp).
-SBANK_COLS = (0, 1, 2, 3, 5, 7, 10, 14)   # orders 1-4,6,8, word, sparse
-N_SBANK = len(SBANK_COLS)
-SBANK_KIND = (0, 0, 0, 0, 0, 0, 0, 1)     # 0=nonstationary, 1=runmap
+SBANK_COLS = (0, 1, 2, 3, 5, 7, 10, 14, 24)  # ord 1-4,6,8, word, sparse,
+N_SBANK = len(SBANK_COLS)                     # bracket
+SBANK_KIND = (0, 0, 0, 0, 0, 0, 0, 1, 0)     # 0=nonstationary, 1=runmap
 SBANK_RATE = 0.02
-N_INPUTS = (N_BANK + 3 + N_MATCH + 1 + 1 + N_SBANK)
-# bank + d0 + d1 + d2 + match x2 + lstm + ppm + state bank
+# d12 arena layout: [0,256) order-1 | [256,256+65536) order-2 |
+# [+512) bracket byte model over (bracket id, capped distance)
+# (the reference's Bracket ByteModel, src/models/bracket.cpp:13-60,
+# as learned next-byte stats per bracket state)
+D12_BRK = 256 + 65536
+D12_ROWS = D12_BRK + 512
+N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK)
+# bank + (d0+d1+d2+brk) + match x2 + lstm + ppm + state bank
 
-_MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64], dtype=np.int64)
+_MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64, 512],
+                      dtype=np.int64)    # last: bracket-gated mixer
 N_MIX1 = len(_MIX1_ROWS)
 _MIX1_OFF = np.concatenate([[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
 _MIX1_TOTAL = int(_MIX1_ROWS.sum())
@@ -167,9 +174,8 @@ def init_shared(cfg: EngineConfig):
                          dtype=jnp.uint32),
         "d0_p": jnp.full(256, 0.5, dtype=jnp.float32),
         "d0_c": jnp.zeros(256, dtype=jnp.float32),
-        # exact order-1 + order-2 direct models in one row arena:
-        # rows [0,256) keyed by last byte, [256, 256+65536) by last 2
-        "d12": jnp.full((256 + 65536, 256), _SLOT_INIT, dtype=jnp.uint32),
+        # exact order-1 + order-2 + bracket byte models in one row arena
+        "d12": jnp.full((D12_ROWS, 256), _SLOT_INIT, dtype=jnp.uint32),
         # match tables (N_MATCH x 2^mbits) and the indirect-hash table
         # share one flat uint32 arena so their updates are one scatter
         "aux_tbl": jnp.zeros(N_MATCH * (1 << cfg.mbits) + (1 << cfg.ibits),
@@ -254,10 +260,11 @@ def _bank_bases_b(cs, ind_val):
         oh[:, 10],                                                # 21
         oh[:, 20],                                                # 22
         mix32(cs["last_word"], cs["word"]),                       # 23 bigram
+        bracket_ctx(cs),                                          # 24 bracket
     ]
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
-    return mix32(v, salt[None, :])
+    return mix32(v, salt[None, :]), vals[24]
 
 
 def _slot_update(slots, target):
@@ -329,7 +336,8 @@ def _predict_tree_b(cfg, sh, pb):
     cs = pb["ctx"]
     node = jnp.asarray(_NODE)
     level = jnp.asarray(_LEVEL)
-    bases = _bank_bases_b(cs, pb["ind_val"])                 # (B, NM)
+    bases, brctx = _bank_bases_b(cs, pb["ind_val"])          # (B, NM), (B,)
+    brctx = brctx.astype(jnp.int32)
     B = bases.shape[0]
 
     rmask = jnp.uint32(cfg.rows - 1)
@@ -342,8 +350,9 @@ def _predict_tree_b(cfg, sh, pb):
     b1 = (cs["last4"] & jnp.uint32(0xFF)).astype(jnp.int32)  # (B,)
     st_d0 = jnp.broadcast_to(_stretch_f(sh["d0_p"])[None], (B, 256))
     b2 = (cs["last4"] & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    d12_idx = jnp.stack([b1, 256 + b2], axis=1)              # (B, 2)
-    d12rows = sh["d12"][d12_idx]                             # (B, 2, 256)
+    d12_idx = jnp.stack([b1, 256 + b2, D12_BRK + brctx],
+                        axis=1)                              # (B, 3)
+    d12rows = sh["d12"][d12_idx]                             # (B, 3, 256)
     st_d12 = ((d12rows >> jnp.uint32(18)).astype(jnp.float32)
               - 4096.0) * (1.0 / 256.0)
 
@@ -434,7 +443,8 @@ def _predict_tree_b(cfg, sh, pb):
         ((cs["word"] >> jnp.uint32(24)) & jnp.uint32(0xFF)).astype(jnp.int32),
         (cs["clsreg"] & jnp.uint32(0xFF)).astype(jnp.int32),
         jnp.minimum(cs["linepos"], jnp.uint32(63)).astype(jnp.int32),
-    ], axis=1) + jnp.asarray(_MIX1_OFF[2:])[None, :]         # (B, 6)
+        brctx,
+    ], axis=1) + jnp.asarray(_MIX1_OFF[2:])[None, :]         # (B, 7)
     w_dyn = sh["w1"][dyn_idx]                                # (B, 6, NIN)
     w_const = sh["w1"][0]                                    # (NIN,)
     w_level = jax.lax.dynamic_slice_in_dim(sh["w1"], 1, 8)   # (8, NIN)
