@@ -65,7 +65,7 @@ MODE_DECODE = 1
 M32 = jnp.uint32(0xFFFFFFFF)
 U8 = jnp.uint32(8)
 
-N_BANK = 25
+N_BANK = 29   # 25 context-hash models + 4 record-grid models
 MATCH_ORDERS = (8, 20)
 N_MATCH = len(MATCH_ORDERS)
 # PPM byte-distribution model: symbol-count tables per order, blended
@@ -95,8 +95,8 @@ D12_ROWS = D12_BRK + 512
 N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK)
 # bank + (d0+d1+d2+brk) + match x2 + lstm + ppm + state bank
 
-_MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64, 512],
-                      dtype=np.int64)    # last: bracket-gated mixer
+_MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64, 512, 128],
+                      dtype=np.int64)    # last two: bracket, record gates
 N_MIX1 = len(_MIX1_ROWS)
 _MIX1_OFF = np.concatenate([[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
 _MIX1_TOTAL = int(_MIX1_ROWS.sum())
@@ -212,6 +212,12 @@ def init_perblock(cfg: EngineConfig):
         "mp_blk": jnp.zeros(N_MATCH, dtype=jnp.int32),
         "mp_pos": jnp.zeros(N_MATCH, dtype=jnp.int32),
         "match_len": jnp.zeros(N_MATCH, dtype=jnp.int32),
+        # record model (capability of paq8 recordModel, paq8.cpp:4204):
+        # per-byte-value last position + last gap vote a record length
+        "rec_lastpos": jnp.full(256, -1, dtype=jnp.int32),
+        "rec_stride": jnp.zeros(256, dtype=jnp.int32),
+        "rec_len": jnp.ones((), dtype=jnp.int32),
+        "rec_cnt": jnp.zeros((), dtype=jnp.int32),
     }
     if cfg.lstm_hidden:
         pb["lstm"] = init_lstm_perblock(LstmConfig(hidden=cfg.lstm_hidden))
@@ -236,8 +242,11 @@ def init_coder(cfg: EngineConfig):
 # ------------------------------------------------------------ per-byte ctxs
 
 
-def _bank_bases_b(cs, ind_val):
-    """uint32[B, N_BANK] per-byte context values for the model bank."""
+def _bank_bases_b(cs, ind_val, rec_vals):
+    """uint32[B, N_BANK] per-byte context values for the model bank.
+
+    rec_vals: uint32 (B, 4) record-grid context values (see
+    _record_ctx_vals)."""
     oh = cs["ohash"]                                         # (B, 25)
     l4 = cs["last4"]                                         # (B,)
     b1 = l4 & jnp.uint32(0xFF)
@@ -261,10 +270,30 @@ def _bank_bases_b(cs, ind_val):
         oh[:, 20],                                                # 22
         mix32(cs["last_word"], cs["word"]),                       # 23 bigram
         bracket_ctx(cs),                                          # 24 bracket
+        rec_vals[:, 0], rec_vals[:, 1],                           # 25-28
+        rec_vals[:, 2], rec_vals[:, 3],                           # record
     ]
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24]
+
+
+def _record_ctx_vals(cfg, pb, t):
+    """Record-grid context values: byte above, two-above, column position
+    (active only once two consecutive equal gaps confirmed a length)."""
+    rl = jnp.where(pb["rec_cnt"] >= 2, pb["rec_len"], 1)     # (B,)
+    bar = jnp.arange(rl.shape[0])
+    n = cfg.block_size
+    above = pb["hist"][bar, jnp.mod(t - rl, n)].astype(jnp.uint32)
+    above2 = pb["hist"][bar, jnp.mod(t - 2 * rl, n)].astype(jnp.uint32)
+    posr = jnp.mod(t, jnp.maximum(rl, 1)).astype(jnp.uint32)
+    rlu = rl.astype(jnp.uint32)
+    return jnp.stack([
+        mix32(above, rlu),
+        mix32(above | (above2 << U8), jnp.uint32(0x51ED2701)),
+        mix32(posr, rlu << U8),
+        mix32(above << U8, posr),
+    ], axis=1), rl, posr
 
 
 def _slot_update(slots, target):
@@ -328,7 +357,7 @@ def _coder_bit_b(cd, comp, enc_bit, p16, mode):
 # ----------------------------------------------------------- tree predictor
 
 
-def _predict_tree_b(cfg, sh, pb):
+def _predict_tree_b(cfg, sh, pb, t):
     """Predictions for all 256 tree nodes of the current byte, batched.
 
     Returns (p_tree f32[B,256], aux dict threaded to _update_tree_b).
@@ -336,7 +365,8 @@ def _predict_tree_b(cfg, sh, pb):
     cs = pb["ctx"]
     node = jnp.asarray(_NODE)
     level = jnp.asarray(_LEVEL)
-    bases, brctx = _bank_bases_b(cs, pb["ind_val"])          # (B, NM), (B,)
+    rec_vals, rec_rl, rec_posr = _record_ctx_vals(cfg, pb, t)
+    bases, brctx = _bank_bases_b(cs, pb["ind_val"], rec_vals)
     brctx = brctx.astype(jnp.int32)
     B = bases.shape[0]
 
@@ -444,7 +474,9 @@ def _predict_tree_b(cfg, sh, pb):
         (cs["clsreg"] & jnp.uint32(0xFF)).astype(jnp.int32),
         jnp.minimum(cs["linepos"], jnp.uint32(63)).astype(jnp.int32),
         brctx,
-    ], axis=1) + jnp.asarray(_MIX1_OFF[2:])[None, :]         # (B, 7)
+        (jnp.minimum(rec_posr, jnp.uint32(63)) * 2).astype(jnp.int32)
+        + (pb["rec_cnt"] >= 2).astype(jnp.int32),
+    ], axis=1) + jnp.asarray(_MIX1_OFF[2:])[None, :]         # (B, 8)
     w_dyn = sh["w1"][dyn_idx]                                # (B, 6, NIN)
     w_const = sh["w1"][0]                                    # (NIN,)
     w_level = jax.lax.dynamic_slice_in_dim(sh["w1"], 1, 8)   # (8, NIN)
@@ -675,7 +707,7 @@ def make_byte_step(cfg: EngineConfig):
         ind_key_prev = (pb["ctx"]["last4"] & imask).astype(jnp.int32)
         ind_prev_val = sh["aux_tbl"][ind_base + ind_key_prev]
 
-        p_tree, aux = _predict_tree_b(cfg, sh, pb)
+        p_tree, aux = _predict_tree_b(cfg, sh, pb, t)
         p16_tree = jnp.clip((p_tree * 65536.0).astype(jnp.int32),
                             64, 65472)
         vf = sh["vocab_force"][None, :]
@@ -703,6 +735,25 @@ def make_byte_step(cfg: EngineConfig):
         pb["hist"] = jax.lax.dynamic_update_slice(
             pb["hist"], byte.astype(jnp.uint8)[:, None],
             (0, t % cfg.block_size))
+
+        # ---- record-length voting: two consecutive equal gaps of the
+        # same byte value nominate a record length; agreement with the
+        # current estimate grows confidence, disagreement erodes it
+        bar = jnp.arange(B)
+        lp = pb["rec_lastpos"][bar, byte]                    # (B,)
+        stv = pb["rec_stride"][bar, byte]
+        gap = t - lp
+        cand = (lp >= 0) & (gap >= 2) & (gap < 4096) & (gap == stv)
+        same = cand & (gap == pb["rec_len"])
+        rcnt = jnp.where(same, jnp.minimum(pb["rec_cnt"] + 1, 63),
+                         jnp.where(cand, pb["rec_cnt"] - 1, pb["rec_cnt"]))
+        switch = cand & ~same & (rcnt < 0)
+        pb["rec_len"] = jnp.where(switch, gap, pb["rec_len"])
+        pb["rec_cnt"] = jnp.where(switch, 0, rcnt)
+        lane256 = jnp.arange(256)[None, :] == byte[:, None]
+        pb["rec_stride"] = jnp.where(lane256, gap[:, None],
+                                     pb["rec_stride"])
+        pb["rec_lastpos"] = jnp.where(lane256, t, pb["rec_lastpos"])
 
         pb["ctx"] = update_ctx_state_batched(
             pb["ctx"], byte.astype(jnp.uint32))
