@@ -190,10 +190,19 @@ def init_shared(cfg: EngineConfig):
         "w1": jnp.full((_MIX1_TOTAL, N_INPUTS), 1.0 / N_INPUTS,
                        dtype=jnp.float32),
         "bias1": jnp.zeros((N_MIX1, 256), dtype=jnp.float32),
+        # layer-2: three context-gated mixers over the layer-1 outputs
+        # (level / last byte / byte-class gates), then a level-gated
+        # layer-3 combiner -- the reference's 26->20->1 mixer tree
+        # (src/predictor.cpp:330-356) collapsed to 10->3->1
         "w2": jnp.full((8, N_MIX1), 1.0 / N_MIX1, dtype=jnp.float32),
-        "bias2": jnp.zeros(256, dtype=jnp.float32),
-        # APM rows [0,256) gated by last byte, [256, 320) by match state
-        "apm": jnp.tile(_apm_row(), (320, 1)),
+        "w2b": jnp.full((256, N_MIX1), 1.0 / N_MIX1, dtype=jnp.float32),
+        "w2c": jnp.full((64, N_MIX1), 1.0 / N_MIX1, dtype=jnp.float32),
+        "bias2": jnp.zeros((3, 256), dtype=jnp.float32),
+        "w3": jnp.full((8, 3), 1.0 / 3.0, dtype=jnp.float32),
+        "bias3": jnp.zeros(256, dtype=jnp.float32),
+        # APM rows: [0,256) last byte | [256,320) match state |
+        # [320,576) order-2 hash
+        "apm": jnp.tile(_apm_row(), (576, 1)),
         # vocabulary forcing per tree node: 0 none, 1 force-0, 2 force-1
         # (cf. the reference's vocab bitmap, src/runner.cpp:44-51)
         "vocab_force": jnp.zeros(256, dtype=jnp.int32),
@@ -487,13 +496,23 @@ def _predict_tree_b(cfg, sh, pb, t):
     dot_level = jnp.einsum("kn,bnk->bk", w_lvl_nodes, x)
     dots = jnp.concatenate(
         [dot_const[:, None], dot_level[:, None], dot_dyn], axis=1)
-    dots = dots + sh["bias1"][None]                          # (B, 8, 256)
+    dots = dots + sh["bias1"][None]                          # (B, M1, 256)
     p1 = _squash_f(dots)
     st1 = jnp.clip(dots, -ST_CLAMP, ST_CLAMP)
 
-    w2n = sh["w2"][level]                                    # (256, 8)
-    dot2 = jnp.einsum("km,bmk->bk", w2n, st1) + sh["bias2"][None]
-    p_mix = _squash_f(dot2)                                  # (B, 256)
+    clsg = (cs["clsreg"] & jnp.uint32(63)).astype(jnp.int32)  # (B,)
+    w2n = sh["w2"][level]                                    # (256, M1)
+    dot2a = jnp.einsum("km,bmk->bk", w2n, st1)
+    dot2b = jnp.einsum("bm,bmk->bk", sh["w2b"][b1], st1)
+    dot2c = jnp.einsum("bm,bmk->bk", sh["w2c"][clsg], st1)
+    dot2 = jnp.stack([dot2a, dot2b, dot2c], axis=1) \
+        + sh["bias2"][None]                                  # (B, 3, 256)
+    p2 = _squash_f(dot2)
+    st2 = jnp.clip(dot2, -ST_CLAMP, ST_CLAMP)
+
+    w3n = sh["w3"][level]                                    # (256, 3)
+    dot3 = jnp.einsum("kj,bjk->bk", w3n, st2) + sh["bias3"][None]
+    p_mix = _squash_f(dot3)                                  # (B, 256)
 
     def apm(tbl_rows, p):
         tf = jnp.clip((_stretch_f(p) + 8.0) * 2.0, 0.0, 31.999)
@@ -503,11 +522,14 @@ def _predict_tree_b(cfg, sh, pb, t):
         bb = jnp.take_along_axis(tbl_rows, tl + 1, axis=1)
         return a * (1 - frac) + bb * frac, tl, frac
 
-    apm_idx = jnp.stack([b1, 256 + longest], axis=1)         # (B, 2)
-    apm_rows = sh["apm"][apm_idx]                            # (B, 2, 33)
+    o2g = ((cs["ohash"][:, 2] >> jnp.uint32(17))
+           & jnp.uint32(0xFF)).astype(jnp.int32)
+    apm_idx = jnp.stack([b1, 256 + longest, 320 + o2g], axis=1)  # (B, 3)
+    apm_rows = sh["apm"][apm_idx]                            # (B, 3, 33)
     pa1, t1, f1 = apm(apm_rows[:, 0], p_mix)
     pa2, t2, f2 = apm(apm_rows[:, 1], p_mix)
-    pa = jnp.clip(0.5 * (pa1 + pa2), 1e-6, 1 - 1e-6)
+    pa3, t3, f3 = apm(apm_rows[:, 2], p_mix)
+    pa = jnp.clip((pa1 + pa2 + pa3) * (1.0 / 3.0), 1e-6, 1 - 1e-6)
     st_fin = 0.4 * _stretch_f(p_mix) + 0.6 * _stretch_f(pa)
     p_tree = _squash_f(st_fin)                               # (B, 256)
 
@@ -517,7 +539,9 @@ def _predict_tree_b(cfg, sh, pb, t):
                alive=alive, exp_bit=exp_bit, lenb=lenb,
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
                w_level=w_level, p1=p1, st1=st1, p_mix=p_mix,
-               longest=longest, t1=t1, f1=f1, t2=t2, f2=f2, p_tree=p_tree)
+               p2=p2, st2=st2, clsg=clsg,
+               longest=longest, t1=t1, f1=f1, t2=t2, f2=f2, t3=t3, f3=f3,
+               p_tree=p_tree)
     return p_tree, aux
 
 
@@ -630,10 +654,19 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     sh["w1"] = sh["w1"].at[aux["dyn_idx"]].add(MIX_LR * dws[:, 2:])
     sh["bias1"] = sh["bias1"] + MIX_LR * jnp.sum(err1, axis=0)
 
-    err2 = (target - aux["p_mix"]) * on_path                 # (B, 256)
-    dw2 = jnp.einsum("lk,bk,bmk->lm", lvl_onehot, err2, aux["st1"])
+    err2 = (target[:, None, :] - aux["p2"]) * on_path[:, None, :]  # (B,3,256)
+    dw2 = jnp.einsum("lk,bk,bmk->lm", lvl_onehot, err2[:, 0], aux["st1"])
     sh["w2"] = sh["w2"] + MIX_LR * dw2
+    dw2b = jnp.einsum("bk,bmk->bm", err2[:, 1], aux["st1"])
+    sh["w2b"] = sh["w2b"].at[aux["b1"]].add(MIX_LR * dw2b)
+    dw2c = jnp.einsum("bk,bmk->bm", err2[:, 2], aux["st1"])
+    sh["w2c"] = sh["w2c"].at[aux["clsg"]].add(MIX_LR * dw2c)
     sh["bias2"] = sh["bias2"] + MIX_LR * jnp.sum(err2, axis=0)
+
+    err3 = (target - aux["p_mix"]) * on_path                 # (B, 256)
+    dw3 = jnp.einsum("lk,bk,bjk->lj", lvl_onehot, err3, aux["st2"])
+    sh["w3"] = sh["w3"] + MIX_LR * dw3
+    sh["bias3"] = sh["bias3"] + MIX_LR * jnp.sum(err3, axis=0)
 
     # ---- APMs: in-row one-hot updates, one row scatter
     p_tree_p = jnp.take_along_axis(aux["p_tree"], n8, axis=1)  # (B, 8)
@@ -650,7 +683,8 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
                        + oh_r * (f_p * errp)[:, :, None], axis=1)
 
     d_apm = jnp.stack([apm_row_delta(aux["t1"], aux["f1"]),
-                       apm_row_delta(aux["t2"], aux["f2"])], axis=1)
+                       apm_row_delta(aux["t2"], aux["f2"]),
+                       apm_row_delta(aux["t3"], aux["f3"])], axis=1)
     newapm = jnp.clip(aux["apm_rows"] + d_apm, 1e-4, 1 - 1e-4)
     sh["apm"] = sh["apm"].at[aux["apm_idx"]].set(newapm)
     return sh
