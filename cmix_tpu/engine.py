@@ -877,10 +877,13 @@ def make_transcoder(cfg: EngineConfig):
     seg_jit = jax.jit(make_segment_fn(cfg), donate_argnums=(0, 1, 2))
     comp_jit = jax.jit(make_seg_compactor(cfg), donate_argnums=(0, 1))
 
-    def transcode(sh, pb, inp, comp, mode):
+    def transcode(sh, pb, inp, comp, mode, meter=None, progress=None):
         """mode: scalar or per-lane (B,) vector -- a decode group mirrors
         its encode group exactly, with raw-stored/padding lanes re-fed in
-        encode mode so the shared model state evolves identically."""
+        encode mode so the shared model state evolves identically.
+        meter: utils.profiling.Meter; progress: callable(bytes_done)."""
+        import contextlib
+        ph = meter.phase if meter else (lambda _: contextlib.nullcontext())
         b = int(inp.shape[0])
         cd = jax.tree_util.tree_map(
             lambda x: jnp.tile(x[None], (b,) + (1,) * x.ndim),
@@ -898,13 +901,21 @@ def make_transcoder(cfg: EngineConfig):
         parts = [[] for _ in range(b)]
         for si in range(n_segs):
             seg = inp_T[si * cfg.seg_size:(si + 1) * cfg.seg_size]
-            sh, pb, cd, e32, c32 = seg_jit(
-                sh, pb, cd, jnp.int32(si * cfg.seg_size), seg, comp, mode)
-            seg_out, seg_len = comp_jit(e32, c32)
-            seg_out = np.asarray(seg_out)
-            seg_len = np.asarray(seg_len)
-            for i in range(b):
-                parts[i].append(seg_out[i, :seg_len[i]].tobytes())
+            with ph("compile" if si == 0 and meter and not meter.segments
+                    else "device"):
+                sh, pb, cd, e32, c32 = seg_jit(
+                    sh, pb, cd, jnp.int32(si * cfg.seg_size), seg, comp,
+                    mode)
+                seg_out, seg_len = comp_jit(e32, c32)
+                seg_out = np.asarray(seg_out)
+                seg_len = np.asarray(seg_len)
+            with ph("host"):
+                for i in range(b):
+                    parts[i].append(seg_out[i, :seg_len[i]].tobytes())
+            if meter:
+                meter.add_segment(b * cfg.seg_size)
+            if progress:
+                progress((si + 1) * cfg.seg_size * b)
         x1 = np.asarray(cd["x1"])
         hist = np.asarray(pb["hist"])
         out = np.zeros((b, cfg.comp_size), dtype=np.uint8)

@@ -131,7 +131,8 @@ def _pretrained_base(cfg, dict_bytes):
 
 
 def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
-             max_batch: int = 64, dictionary: str = None) -> bytes:
+             max_batch: int = 64, dictionary: str = None,
+             meter=None, show_progress=False) -> bytes:
     """Compress ``data`` into a TCMX archive.
 
     dictionary: path to a word list; enables the WRT text transform (when
@@ -160,6 +161,12 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     vocab = _vocab_bitmap(payload)
     vforce = jnp.asarray(_vocab_force(vocab))
 
+    prog = None
+    if show_progress:
+        from cmix_tpu.utils.profiling import Progress
+        ticker = Progress(nb * n, "progress")
+        done_base = [0]
+        prog = lambda d: ticker.update(done_base[0] + d)
     streams = []
     for lo in range(0, nb, eb):
         batch = blocks[lo:lo + eb]
@@ -171,7 +178,10 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         sh["vocab_force"] = vforce
         comp0 = jnp.zeros((eb, cfg.comp_size), dtype=jnp.uint8)
         _, out, out_len = trans(sh, pb, jnp.asarray(batch), comp0,
-                                jnp.int32(MODE_ENCODE))
+                                jnp.int32(MODE_ENCODE), meter=meter,
+                                progress=prog)
+        if show_progress:
+            done_base[0] += b * n
         out = np.asarray(out)
         out_len = np.asarray(out_len)
         for i in range(b):
@@ -283,16 +293,28 @@ def main(argv=None):
     ap.add_argument("--tbits", type=int, default=18)
     ap.add_argument("--lstm", type=int, default=256)
     ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler device trace to DIR")
+    ap.add_argument("--stats", action="store_true",
+                    help="print a JSON phase/throughput report to stderr")
     args = ap.parse_args(argv)
 
+    from cmix_tpu.utils.profiling import Meter, trace
+    meter = Meter() if (args.stats or args.profile) else None
     with open(args.input, "rb") as f:
         data = f.read()
     t0 = time.time()
     if args.mode in ("c", "t"):
         cfg = EngineConfig(block_size=args.block_size, tbits=args.tbits,
                            lstm_hidden=args.lstm)
-        out = compress(data, cfg, max_batch=args.max_batch,
-                       dictionary=args.dictionary)
+        with trace(args.profile):
+            out = compress(data, cfg, max_batch=args.max_batch,
+                           dictionary=args.dictionary, meter=meter,
+                           show_progress=True)
+        if meter:
+            meter.out_bytes = len(out)
+            meter.bytes = len(data)
+            meter.print_report(mode="compress")
         if args.mode == "t":
             back = decompress(out, max_batch=args.max_batch,
                               dictionary=args.dictionary)
