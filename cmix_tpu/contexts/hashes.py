@@ -90,6 +90,22 @@ BR_OPEN, BR_CLOSE = _BR_OPEN, _BR_CLOSE
 BRK_DEPTH = 16          # bracket stack depth (older entries drop off)
 
 
+# Coarse 2-bit byte classes for the long class register (the fxcm
+# wrt_2b stream idea, src/models/fxcmv1.cpp:51-88): letter/digit/space/other.
+_CLS2 = np.full(256, 3, dtype=np.uint32)
+_CLS2[65:91] = 0
+_CLS2[97:123] = 0
+_CLS2[48:58] = 1
+for _b in (9, 10, 13, 32):
+    _CLS2[_b] = 2
+CLS2 = _CLS2
+
+_IS_SENT_END = np.zeros(256, dtype=np.uint32)
+for _b in (46, 33, 63):          # . ! ?
+    _IS_SENT_END[_b] = 1
+IS_SENT_END = _IS_SENT_END
+
+
 def init_ctx_state():
     """Context scalars/vectors (per block, unbatched)."""
     return {
@@ -97,7 +113,12 @@ def init_ctx_state():
         "last4": jnp.zeros((), dtype=jnp.uint32),             # packed last 4 bytes
         "word": jnp.zeros((), dtype=jnp.uint32),              # hash of current word prefix
         "last_word": jnp.zeros((), dtype=jnp.uint32),         # hash of last completed word
+        "last_word2": jnp.zeros((), dtype=jnp.uint32),        # the word before that
+        "word_pfx": jnp.zeros((), dtype=jnp.uint32),          # hash of first <=4 letters (stem)
+        "wordlen": jnp.zeros((), dtype=jnp.uint32),           # letters in current word (capped)
         "clsreg": jnp.zeros((), dtype=jnp.uint32),            # byte-class 4-bit register
+        "cls2reg": jnp.zeros((), dtype=jnp.uint32),           # coarse 2-bit class register (16 B)
+        "sentpos": jnp.zeros((), dtype=jnp.uint32),           # bytes since sentence end (capped)
         "linepos": jnp.zeros((), dtype=jnp.uint32),           # bytes since last newline (capped)
         # bracket stack: entries pack (bracket id << 24) | open position
         "brk_stack": jnp.zeros(BRK_DEPTH, dtype=jnp.uint32),
@@ -126,14 +147,32 @@ def update_ctx_state(cs, byte_u32):
                      jnp.zeros((), jnp.uint32))
     ended = (is_letter == 0) & (cs["word"] != 0)
     last_word = jnp.where(ended, cs["word"], cs["last_word"])
+    last_word2 = jnp.where(ended, cs["last_word"], cs["last_word2"])
+    wordlen = jnp.where(is_letter == 1,
+                        jnp.minimum(cs["wordlen"] + 1, jnp.uint32(63)),
+                        jnp.zeros((), jnp.uint32))
+    # stem-prefix hash: stop mixing after 4 letters so inflected forms
+    # share a context (cheap analogue of the reference's stemmers,
+    # src/models/fxcmv1.cpp:2662-3209, src/models/paq8.cpp:1530-2998)
+    word_pfx = jnp.where(is_letter == 0, jnp.zeros((), jnp.uint32),
+                         jnp.where(cs["wordlen"] < 4,
+                                   mix32(cs["word_pfx"], lower),
+                                   cs["word_pfx"]))
     clsreg = ((cs["clsreg"] << jnp.uint32(4)) |
               jnp.asarray(BYTE_CLASS)[b])
+    cls2reg = (cs["cls2reg"] << jnp.uint32(2)) | jnp.asarray(CLS2)[b]
+    sentpos = jnp.where(jnp.asarray(IS_SENT_END)[b] == 1,
+                        jnp.zeros((), jnp.uint32),
+                        jnp.minimum(cs["sentpos"] + 1, jnp.uint32(1023)))
     linepos = jnp.where(b == jnp.uint32(10), jnp.zeros((), jnp.uint32),
                         jnp.minimum(cs["linepos"] + 1, jnp.uint32(8191)))
     stack, depth = _brk_step(cs["brk_stack"], cs["brk_depth"],
                              cs["bytecnt"], b)
     return {"ohash": new_ohash, "last4": last4, "word": word,
-            "last_word": last_word, "clsreg": clsreg, "linepos": linepos,
+            "last_word": last_word, "last_word2": last_word2,
+            "word_pfx": word_pfx, "wordlen": wordlen,
+            "clsreg": clsreg, "cls2reg": cls2reg, "sentpos": sentpos,
+            "linepos": linepos,
             "brk_stack": stack, "brk_depth": depth,
             "bytecnt": cs["bytecnt"] + 1}
 
@@ -193,12 +232,27 @@ def update_ctx_state_batched(cs, bytes_b):
                      jnp.zeros_like(cs["word"]))
     ended = (is_letter == 0) & (cs["word"] != 0)
     last_word = jnp.where(ended, cs["word"], cs["last_word"])
+    last_word2 = jnp.where(ended, cs["last_word"], cs["last_word2"])
+    wordlen = jnp.where(is_letter == 1,
+                        jnp.minimum(cs["wordlen"] + 1, jnp.uint32(63)),
+                        jnp.zeros_like(cs["wordlen"]))
+    word_pfx = jnp.where(is_letter == 0, jnp.zeros_like(cs["word_pfx"]),
+                         jnp.where(cs["wordlen"] < 4,
+                                   mix32(cs["word_pfx"], lower),
+                                   cs["word_pfx"]))
     clsreg = (cs["clsreg"] << jnp.uint32(4)) | jnp.asarray(BYTE_CLASS)[b]
+    cls2reg = (cs["cls2reg"] << jnp.uint32(2)) | jnp.asarray(CLS2)[b]
+    sentpos = jnp.where(jnp.asarray(IS_SENT_END)[b] == 1,
+                        jnp.zeros_like(cs["sentpos"]),
+                        jnp.minimum(cs["sentpos"] + 1, jnp.uint32(1023)))
     linepos = jnp.where(b == jnp.uint32(10), jnp.zeros_like(cs["linepos"]),
                         jnp.minimum(cs["linepos"] + 1, jnp.uint32(8191)))
     stack, depth = _brk_step(cs["brk_stack"], cs["brk_depth"],
                              cs["bytecnt"], b)
     return {"ohash": new_ohash, "last4": last4, "word": word,
-            "last_word": last_word, "clsreg": clsreg, "linepos": linepos,
+            "last_word": last_word, "last_word2": last_word2,
+            "word_pfx": word_pfx, "wordlen": wordlen,
+            "clsreg": clsreg, "cls2reg": cls2reg, "sentpos": sentpos,
+            "linepos": linepos,
             "brk_stack": stack, "brk_depth": depth,
             "bytecnt": cs["bytecnt"] + 1}

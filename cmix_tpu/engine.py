@@ -34,7 +34,7 @@ Model ensemble v3 (format-defining; see FORMAT_VERSION):
     src/models/direct-hash.cpp + src/models/indirect.cpp over
     src/contexts/*.
   * exact order-0 / order-1 direct models (src/models/direct.cpp).
-  * two match models, orders 8 and 20, with cross-block references
+  * four match models, orders 5/8/12/20, with cross-block references
     (src/models/match.cpp).
   * shared-weight LSTM byte mixer trained online on all B streams
     (src/mixer/lstm.cpp).
@@ -65,8 +65,8 @@ MODE_DECODE = 1
 M32 = jnp.uint32(0xFFFFFFFF)
 U8 = jnp.uint32(8)
 
-N_BANK = 29   # 25 context-hash models + 4 record-grid models
-MATCH_ORDERS = (8, 20)
+N_BANK = 36   # 25 context-hash + 4 record-grid + 7 text/structure models
+MATCH_ORDERS = (5, 8, 12, 20)
 N_MATCH = len(MATCH_ORDERS)
 # PPM byte-distribution model: symbol-count tables per order, blended
 # highest-order-first with PPM-C escape estimation (capability class of
@@ -203,6 +203,11 @@ def init_shared(cfg: EngineConfig):
         # APM rows: [0,256) last byte | [256,320) match state |
         # [320,576) order-2 hash
         "apm": jnp.tile(_apm_row(), (576, 1)),
+        # learned final blend over (mixer, apm1..3) stretches, gated by
+        # the match state (the fxcm fail-counter APM blending idea,
+        # src/models/fxcmv1.cpp:4630-4833, as a trained micro-mixer)
+        "w_apm": jnp.tile(jnp.asarray([0.4, 0.2, 0.2, 0.2],
+                                      jnp.float32)[None], (64, 1)),
         # vocabulary forcing per tree node: 0 none, 1 force-0, 2 force-1
         # (cf. the reference's vocab bitmap, src/runner.cpp:44-51)
         "vocab_force": jnp.zeros(256, dtype=jnp.int32),
@@ -281,6 +286,17 @@ def _bank_bases_b(cs, ind_val, rec_vals):
         bracket_ctx(cs),                                          # 24 bracket
         rec_vals[:, 0], rec_vals[:, 1],                           # 25-28
         rec_vals[:, 2], rec_vals[:, 3],                           # record
+        # fxcm-class text/structure contexts (src/models/fxcmv1.cpp:
+        # 1831-1850 class streams, :2157-2453 sentence/word streams,
+        # :2662-3209 stemmer; redesigned as hashed bank contexts)
+        cs["word_pfx"],                                           # 29 stem
+        mix32(cs["last_word2"], cs["last_word"]),                 # 30 2-word
+        cs["cls2reg"],                                            # 31 coarse
+        mix32(jnp.minimum(cs["sentpos"], jnp.uint32(1023)), b1),  # 32 sent
+        mix32(cs["word"], jnp.minimum(cs["wordlen"],
+                                      jnp.uint32(15))),           # 33 w+len
+        oh[:, 24],                                                # 34 ord24
+        mix32(cs["clsreg"], jnp.uint32(0xC2B2AE35)),              # 35 fine
     ]
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
@@ -529,8 +545,11 @@ def _predict_tree_b(cfg, sh, pb, t):
     pa1, t1, f1 = apm(apm_rows[:, 0], p_mix)
     pa2, t2, f2 = apm(apm_rows[:, 1], p_mix)
     pa3, t3, f3 = apm(apm_rows[:, 2], p_mix)
-    pa = jnp.clip((pa1 + pa2 + pa3) * (1.0 / 3.0), 1e-6, 1 - 1e-6)
-    st_fin = 0.4 * _stretch_f(p_mix) + 0.6 * _stretch_f(pa)
+    st_in = jnp.stack(
+        [_stretch_f(p_mix), _stretch_f(pa1), _stretch_f(pa2),
+         _stretch_f(pa3)], axis=1)                           # (B, 4, 256)
+    wa = sh["w_apm"][longest]                                # (B, 4)
+    st_fin = jnp.einsum("bj,bjk->bk", wa, st_in)
     p_tree = _squash_f(st_fin)                               # (B, 256)
 
     aux = dict(rowi=rowi, rows=rows, b1=b1, d12_idx=d12_idx,
@@ -541,7 +560,7 @@ def _predict_tree_b(cfg, sh, pb, t):
                w_level=w_level, p1=p1, st1=st1, p_mix=p_mix,
                p2=p2, st2=st2, clsg=clsg,
                longest=longest, t1=t1, f1=f1, t2=t2, f2=f2, t3=t3, f3=f3,
-               p_tree=p_tree)
+               st_in=st_in, p_tree=p_tree)
     return p_tree, aux
 
 
@@ -687,6 +706,11 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
                        apm_row_delta(aux["t3"], aux["f3"])], axis=1)
     newapm = jnp.clip(aux["apm_rows"] + d_apm, 1e-4, 1 - 1e-4)
     sh["apm"] = sh["apm"].at[aux["apm_idx"]].set(newapm)
+
+    # ---- final blend weights (match-state gated)
+    err_f = (target - aux["p_tree"]) * on_path               # (B, 256)
+    dwa = jnp.einsum("bk,bjk->bj", err_f, aux["st_in"])
+    sh["w_apm"] = sh["w_apm"].at[aux["longest"]].add(MIX_LR * dwa)
     return sh
 
 
