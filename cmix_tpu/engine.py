@@ -58,6 +58,7 @@ from cmix_tpu.states.tables import (
 from cmix_tpu.mixer.lstm import (
     LstmConfig, init_lstm_shared, init_lstm_perblock,
     lstm_shared_byte_update)
+from cmix_tpu.models import dmc
 
 MODE_ENCODE = 0
 MODE_DECODE = 1
@@ -92,8 +93,14 @@ SBANK_RATE = 0.02
 # as learned next-byte stats per bracket state)
 D12_BRK = 256 + 65536
 D12_ROWS = D12_BRK + 512
-N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK)
-# bank + (d0+d1+d2+brk) + match x2 + lstm + ppm + state bank
+N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1)
+# bank + (d0+d1+d2+brk) + match x4 + lstm + ppm + state bank + dmc
+# PPM SEE buckets: escape probability learned per
+# (order, distinct-symbols bucket, log2-total bucket) -- the capability
+# class of mod_ppmd's SEE2 contexts (src/models/ppmd.cpp:956-1109)
+SEE_DIST_B = 16
+SEE_TOT_B = 8
+SEE_RATE = 0.02
 
 _MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64, 512, 128],
                       dtype=np.int64)    # last two: bracket, record gates
@@ -136,6 +143,7 @@ class EngineConfig:
     ibits: int = 16             # log2 slots of indirect-hash table (shared)
     pbits: int = 20             # log2 byte slots per PPM order table
     lstm_hidden: int = 256      # 0 disables the LSTM byte mixer
+    dmc_nodes: int = 16384      # DMC pool per block; 0 disables
     seg_size: int = 4096        # bytes per device execution segment
 
     def __post_init__(self):
@@ -183,6 +191,8 @@ def init_shared(cfg: EngineConfig):
         "match_conf": jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32),
         # PPM symbol counts: one uint8 count per (order, context row, byte)
         "ppm": jnp.zeros((N_PPM, cfg.prows, 256), dtype=jnp.uint8),
+        "ppm_see": jnp.asarray(_see_init()),
+
         # state bank: automaton state per (model, context row, tree node)
         "sbank": jnp.zeros((N_SBANK, cfg.rows, 256), dtype=jnp.uint8),
         "sbank_p": jnp.asarray(_SBANK_P0),
@@ -235,12 +245,23 @@ def init_perblock(cfg: EngineConfig):
     }
     if cfg.lstm_hidden:
         pb["lstm"] = init_lstm_perblock(LstmConfig(hidden=cfg.lstm_hidden))
+    if cfg.dmc_nodes:
+        pb.update(dmc.init_dmc_perblock(cfg.dmc_nodes))
     return pb
 
 
 def _apm_row():
     stv = (np.arange(33) - 16) * 0.5
     return jnp.asarray(1.0 / (1.0 + np.exp(-stv)), dtype=jnp.float32)
+
+
+def _see_init():
+    """PPM-C escape estimate at bucket centers (learned from there)."""
+    d = np.arange(SEE_DIST_B, dtype=np.float32)[:, None]
+    tot = 1.5 * np.exp2(np.arange(SEE_TOT_B, dtype=np.float32))[None, :]
+    est = np.clip(np.maximum(d, 0.5) / (np.maximum(d, 0.5) + tot),
+                  0.02, 0.95).astype(np.float32)
+    return np.tile(est[None], (N_PPM, 1, 1))
 
 
 def init_coder(cfg: EngineConfig):
@@ -451,8 +472,13 @@ def _predict_tree_b(cfg, sh, pb, t):
     pcnt = ppm_rows.astype(jnp.float32)
     ptot = jnp.sum(pcnt, axis=2)                             # (B, NP)
     pdst = jnp.sum((pcnt > 0).astype(jnp.float32), axis=2)   # distinct
-    pden = jnp.maximum(ptot + pdst, 1.0)
-    pesc = jnp.where(ptot > 0, pdst / pden, 1.0)             # (B, NP)
+    # SEE: escape probability from the learned (order, distinct, total)
+    # table instead of the raw PPM-C ratio
+    see_d = jnp.minimum(pdst, SEE_DIST_B - 1).astype(jnp.int32)
+    see_t = jnp.clip(jnp.log2(ptot + 1.0), 0, SEE_TOT_B - 1
+                     ).astype(jnp.int32)
+    see_p = sh["ppm_see"][p_ar[None, :], see_d, see_t]       # (B, NP)
+    pesc = jnp.where(ptot > 0, see_p, 1.0)                   # (B, NP)
     # weight of order o (descending) = prod of escapes of higher orders
     esc_rev = pesc[:, ::-1]                                  # high order first
     wcum = jnp.concatenate(
@@ -482,9 +508,15 @@ def _predict_tree_b(cfg, sh, pb, t):
     st_sbank = sh["sbank_st"][s_ar[None, :, None],
                               srows.astype(jnp.int32)]       # (B, NS, 256)
 
+    # ---- DMC: grown bit-automaton prediction per tree node
+    if cfg.dmc_nodes:
+        st_dmc = _stretch_f(dmc.predict_tree(pb))[:, None, :]
+    else:
+        st_dmc = jnp.zeros((B, 1, 256), jnp.float32)
+
     x = jnp.concatenate(
         [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm,
-         st_sbank], axis=1)                                  # (B, NIN, 256)
+         st_sbank, st_dmc], axis=1)                          # (B, NIN, 256)
 
     longest = (jnp.max(jnp.where(pb["match_len"] > 0, lenb, 0), axis=1) * 2
                + jnp.max(jnp.where(pb["match_len"] > 0,
@@ -554,6 +586,7 @@ def _predict_tree_b(cfg, sh, pb, t):
 
     aux = dict(rowi=rowi, rows=rows, b1=b1, d12_idx=d12_idx,
                prowi=prowi, ppm_rows=ppm_rows, srowi=srowi, srows=srows,
+               see_d=see_d, see_t=see_t, see_p=see_p, ptot=ptot,
                d12rows=d12rows, apm_idx=apm_idx, apm_rows=apm_rows,
                alive=alive, exp_bit=exp_bit, lenb=lenb,
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
@@ -624,6 +657,16 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     prow_new = prow_new + byte_oh * jnp.uint8(PPM_INC)
     p_ar = jnp.arange(N_PPM)
     sh["ppm"] = sh["ppm"].at[p_ar[None, :], aux["prowi"]].set(prow_new)
+
+    # ---- SEE: adapt escape estimates toward observed escape events
+    # (escape at order o <=> the coded byte had count 0 in that row)
+    esc_t = (obs[:, :, 0] == 0).astype(jnp.float32)          # (B, NP)
+    see_msk = (aux["ptot"] > 0).astype(jnp.float32)
+    d_see = SEE_RATE * (esc_t - aux["see_p"]) * see_msk
+    sh["ppm_see"] = jnp.clip(
+        sh["ppm_see"].at[p_ar[None, :], aux["see_d"],
+                         aux["see_t"]].add(d_see),
+        1e-3, 1.0 - 1e-3)
 
     # ---- state bank: advance path-node automaton states, adapt the
     # shared per-(model, state) probability (src/models/indirect.cpp:16-31)
@@ -793,6 +836,11 @@ def make_byte_step(cfg: EngineConfig):
         pb["hist"] = jax.lax.dynamic_update_slice(
             pb["hist"], byte.astype(jnp.uint8)[:, None],
             (0, t % cfg.block_size))
+
+        if cfg.dmc_nodes:
+            pb.update(dmc.byte_update(
+                {k: pb[k] for k in
+                 ("dmc_nxt", "dmc_cnt", "dmc_cur", "dmc_top")}, byte))
 
         # ---- record-length voting: two consecutive equal gaps of the
         # same byte value nominate a record length; agreement with the

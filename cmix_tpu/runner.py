@@ -78,7 +78,7 @@ _RAW_FLAG = 0x80000000
 _FLAG_WRT = 1
 _FLAG_PRETRAIN = 2
 
-_HDR = "<BBBBBBBHHQQI8s32s"
+_HDR = "<BBBBBBBBHHQQI8s32s"      # +u8 log2(dmc_nodes), 0 = disabled
 _HDR_LEN = struct.calcsize(_HDR)
 
 _TRANSCODER_CACHE = {}
@@ -195,8 +195,9 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
 
     header = MAGIC + struct.pack(
         _HDR, FORMAT_VERSION, flags, cfg.block_size.bit_length() - 1,
-        cfg.tbits, cfg.mbits, cfg.ibits, cfg.pbits, cfg.lstm_hidden, eb,
-        len(data), len(payload), nb, fp, vocab)
+        cfg.tbits, cfg.mbits, cfg.ibits, cfg.pbits,
+        cfg.dmc_nodes.bit_length() - 1 if cfg.dmc_nodes else 0,
+        cfg.lstm_hidden, eb, len(data), len(payload), nb, fp, vocab)
     segtbl = b""
     if flags & _FLAG_WRT:
         segtbl = struct.pack("<I", len(seg_meta)) + b"".join(
@@ -210,12 +211,13 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
 def decompress(archive: bytes, max_batch: int = 64,
                dictionary: str = None) -> bytes:
     assert archive[:4] == MAGIC, "bad magic"
-    (ver, flags, log_bs, tbits, mbits, ibits, pbits, lstm_hidden, eb,
-     orig_len, payload_len, nb, fp, vocab) = struct.unpack(
+    (ver, flags, log_bs, tbits, mbits, ibits, pbits, dmc_log, lstm_hidden,
+     eb, orig_len, payload_len, nb, fp, vocab) = struct.unpack(
         _HDR, archive[4:4 + _HDR_LEN])
     assert ver == FORMAT_VERSION, f"format version {ver} unsupported"
     cfg = EngineConfig(block_size=1 << log_bs, tbits=tbits, mbits=mbits,
-                       ibits=ibits, pbits=pbits, lstm_hidden=lstm_hidden)
+                       ibits=ibits, pbits=pbits, lstm_hidden=lstm_hidden,
+                       dmc_nodes=(1 << dmc_log) if dmc_log else 0)
     d, dict_bytes, fp2 = _load_dictionary(dictionary)
     base = None
     if flags & _FLAG_PRETRAIN:
@@ -292,6 +294,8 @@ def main(argv=None):
     ap.add_argument("--block-size", type=int, default=1 << 16)
     ap.add_argument("--tbits", type=int, default=18)
     ap.add_argument("--lstm", type=int, default=256)
+    ap.add_argument("--dmc", type=int, default=16384,
+                    help="DMC node pool per block (0 disables)")
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler device trace to DIR")
@@ -306,7 +310,7 @@ def main(argv=None):
     t0 = time.time()
     if args.mode in ("c", "t"):
         cfg = EngineConfig(block_size=args.block_size, tbits=args.tbits,
-                           lstm_hidden=args.lstm)
+                           lstm_hidden=args.lstm, dmc_nodes=args.dmc)
         with trace(args.profile):
             out = compress(data, cfg, max_batch=args.max_batch,
                            dictionary=args.dictionary, meter=meter,

@@ -1,0 +1,67 @@
+"""DMC model unit tests (cf. paq8 dmcModel, src/models/paq8.cpp:7597-7822)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cmix_tpu.models.dmc import (
+    init_dmc_perblock, predict_tree, byte_update, N_BASE)
+
+
+def _batched(n_nodes, b):
+    import jax
+    pb = init_dmc_perblock(n_nodes)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (b,) + (1,) * x.ndim), pb)
+
+
+def test_initial_prediction_uniform():
+    pb = _batched(8192, 2)
+    p = np.asarray(predict_tree(pb))
+    assert p.shape == (2, 256)
+    assert np.allclose(p[:, 1:], 0.5, atol=1e-5)
+
+
+def test_learns_repeated_byte():
+    pb = _batched(8192, 1)
+    for _ in range(30):
+        pb = dict(pb, **byte_update(
+            {k: pb[k] for k in
+             ("dmc_nxt", "dmc_cnt", "dmc_cur", "dmc_top")},
+            jnp.asarray([0x41])))
+    p = np.asarray(predict_tree(pb))[0]
+    # after seeing 'A' (01000001) repeatedly, the root bit (node 1,
+    # predicting the top bit = 0) must be confident low
+    assert p[1] < 0.15
+    # node for prefix 0b01 at level 2 is node 0b101=5; next bit is 0
+    assert p[5] < 0.2
+
+
+def test_cloning_grows_and_freezes():
+    pb = _batched(N_BASE + 8, 1)     # nearly-full pool
+    data = (b"the quick brown fox " * 8)
+    for ch in data:
+        pb = dict(pb, **byte_update(
+            {k: pb[k] for k in
+             ("dmc_nxt", "dmc_cnt", "dmc_cur", "dmc_top")},
+            jnp.asarray([ch])))
+    top = int(np.asarray(pb["dmc_top"])[0])
+    n = pb["dmc_nxt"].shape[1]
+    assert N_BASE < top <= n          # cloned, then froze at the cap
+    # machine stays well-formed: all pointers inside the pool
+    assert int(np.asarray(pb["dmc_nxt"]).max()) < n
+    assert int(np.asarray(pb["dmc_nxt"]).min()) >= 0
+
+
+def test_distinct_streams_distinct_state():
+    pb = _batched(8192, 2)
+    for i in range(40):
+        byte = jnp.asarray([0x41, 0x42])
+        pb = dict(pb, **byte_update(
+            {k: pb[k] for k in
+             ("dmc_nxt", "dmc_cnt", "dmc_cur", "dmc_top")}, byte))
+    p = np.asarray(predict_tree(pb))
+    # lane 0 saw 'A' (bit1 of 01000001 = 1), lane 1 'B' (01000010):
+    # at node 64+1 (prefix 0100000) they must disagree about the last bits
+    assert p[0, 127] != p[1, 127] or p[0, 255 // 2] != p[1, 255 // 2] or \
+        abs(p[0, 1] - p[1, 1]) < 0.2  # both learned high-bit=0 equally
+    assert p[0, 1] < 0.2 and p[1, 1] < 0.2
