@@ -77,12 +77,18 @@ PPM_ORDERS = (1, 2, 3, 4, 6, 8, 12)
 N_PPM = len(PPM_ORDERS)
 PPM_INC = 3               # count increment per observation
 # State-machine bank (the reference's Indirect models over bit-history
-# automata, src/models/indirect.cpp:16-31 + src/states/*): slots hold an
-# 8-bit automaton state; prediction comes from a shared learned
-# per-(model, state) probability table.  Bank-base columns used as
-# contexts, re-salted; last model runs the run-length automaton
-# (src/states/run-map.cpp), the rest the nonstationary one
-# (src/states/nonstationary.cpp).
+# automata, src/models/indirect.cpp:16-31 + src/states/*): slots pack an
+# 8-bit automaton state WITH the st13 stretch of that state's learned
+# probability at write time ([0..7] state | [8..20] st13).  Packing the
+# stretch into the slot makes prediction a single row gather -- the
+# profiled alternative (a second per-element lookup of the shared
+# per-(model, state) table at all 256 tree nodes) was the single most
+# expensive op on the chip (~6 ms/step: tiny-table gathers lower to
+# scalar loops on TPU).  The cached stretch is at most one visit stale;
+# encode/decode share the executable so bit-exactness is unaffected.
+# Bank-base columns used as contexts, re-salted; last model runs the
+# run-length automaton (src/states/run-map.cpp), the rest the
+# nonstationary one (src/states/nonstationary.cpp).
 SBANK_COLS = (0, 1, 2, 3, 5, 7, 10, 14, 24)  # ord 1-4,6,8, word, sparse,
 N_SBANK = len(SBANK_COLS)                     # bracket
 SBANK_KIND = (0, 0, 0, 0, 0, 0, 0, 1, 0)     # 0=nonstationary, 1=runmap
@@ -121,6 +127,11 @@ _SBANK_NEXT = np.stack(
 _SBANK_P0 = np.stack(
     [(RUN_INIT_P12 if k else NS_INIT_P12).astype(np.float32) / 4096.0
      for k in SBANK_KIND])                              # (NS, 256)
+
+
+def _st13_np(p):
+    st = np.clip(np.log(p / (1.0 - p)), -ST_CLAMP, ST_CLAMP)
+    return np.clip(st * 256.0 + 4096.0, 0, 8191).astype(np.uint32)
 
 # static per-node constants (node ids 1..255; 0 unused)
 _NODE = np.arange(256)
@@ -193,10 +204,12 @@ def init_shared(cfg: EngineConfig):
         "ppm": jnp.zeros((N_PPM, cfg.prows, 256), dtype=jnp.uint8),
         "ppm_see": jnp.asarray(_see_init()),
 
-        # state bank: automaton state per (model, context row, tree node)
-        "sbank": jnp.zeros((N_SBANK, cfg.rows, 256), dtype=jnp.uint8),
+        # state bank: packed (state | st13) per (model, context row, node)
+        "sbank": jnp.broadcast_to(
+            jnp.asarray(_st13_np(_SBANK_P0[:, 0]) << np.uint32(8)
+                        )[:, None, None],
+            (N_SBANK, cfg.rows, 256)),
         "sbank_p": jnp.asarray(_SBANK_P0),
-        "sbank_st": _stretch_f(jnp.asarray(_SBANK_P0)),
         "w1": jnp.full((_MIX1_TOTAL, N_INPUTS), 1.0 / N_INPUTS,
                        dtype=jnp.float32),
         "bias1": jnp.zeros((N_MIX1, 256), dtype=jnp.float32),
@@ -497,16 +510,17 @@ def _predict_tree_b(cfg, sh, pb, t):
                      1e-5, 1 - 1e-5)
     st_ppm = _stretch_f(p_ppm)[:, None, :]                   # (B, 1, 256)
 
-    # ---- state bank: automaton states -> per-state learned stretch
+    # ---- state bank: packed slots carry their own stretch (see the
+    # layout note at SBANK_COLS) -- one row gather, no per-state lookup
     scols = jnp.asarray(np.array(SBANK_COLS, dtype=np.int64))
     ssalt = (jnp.arange(N_SBANK, dtype=jnp.uint32) + jnp.uint32(7)) \
         * jnp.uint32(0x27D4EB2F)
     srowi = ((mix32(bases[:, scols], ssalt[None, :]) >> U8)
              & rmask).astype(jnp.int32)                      # (B, NS)
     s_ar = jnp.arange(N_SBANK)
-    srows = sh["sbank"][s_ar[None, :], srowi]                # (B,NS,256) u8
-    st_sbank = sh["sbank_st"][s_ar[None, :, None],
-                              srows.astype(jnp.int32)]       # (B, NS, 256)
+    srows = sh["sbank"][s_ar[None, :], srowi]                # (B,NS,256) u32
+    st_sbank = ((srows >> U8).astype(jnp.float32)
+                - 4096.0) * (1.0 / 256.0)                    # (B, NS, 256)
 
     # ---- DMC: grown bit-automaton prediction per tree node
     if cfg.dmc_nodes:
@@ -563,12 +577,16 @@ def _predict_tree_b(cfg, sh, pb, t):
     p_mix = _squash_f(dot3)                                  # (B, 256)
 
     def apm(tbl_rows, p):
+        # interpolated SSE read as one (B,256,33)x(B,33) contraction on
+        # the MXU -- take_along_axis from 33-entry rows lowers to a
+        # per-element gather loop on TPU (profiled at ~0.5 ms each)
         tf = jnp.clip((_stretch_f(p) + 8.0) * 2.0, 0.0, 31.999)
         tl = tf.astype(jnp.int32)
         frac = tf - tl.astype(jnp.float32)
-        a = jnp.take_along_axis(tbl_rows, tl, axis=1)
-        bb = jnp.take_along_axis(tbl_rows, tl + 1, axis=1)
-        return a * (1 - frac) + bb * frac, tl, frac
+        j = jnp.arange(33)[None, None, :]
+        w = ((j == tl[:, :, None]) * (1 - frac)[:, :, None]
+             + (j == (tl + 1)[:, :, None]) * frac[:, :, None])
+        return jnp.einsum("bkt,bt->bk", w, tbl_rows), tl, frac
 
     o2g = ((cs["ohash"][:, 2] >> jnp.uint32(17))
            & jnp.uint32(0xFF)).astype(jnp.int32)
@@ -621,9 +639,11 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     t8 = ((byte[:, None] >> (7 - jnp.arange(8))[None, :]) & 1
           ).astype(jnp.float32)                              # (B, 8)
 
-    # ---- bank: masked in-row slot updates, one row-window scatter
-    # (row windows are ~2.3x cheaper than per-element scatters on TPU and
-    # per-scatter-op overhead dominates, so every table writes full rows)
+    # ---- bank: masked in-row slot updates, one row-window scatter.
+    # Dense full-row compute + mask is the fast form on TPU: the fused
+    # elementwise update of all 2.4M slots costs ~50 us, while gathering
+    # the 8 path slots per row costs ~1.3 ms (dynamic gathers run at
+    # ~12 ns/element on the scalar core) -- measured both ways.
     onp_b = on_path.astype(jnp.bool_)
     newrows = jnp.where(onp_b[:, None, :],
                         _slot_update(aux["rows"], target[:, None, :]),
@@ -638,7 +658,8 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     sh["d0_p"] = jnp.clip(sh["d0_p"] + r0 * delta0, 1e-4, 1 - 1e-4)
     sh["d0_c"] = jnp.minimum(c0 + jnp.sum(on_path, axis=0), float(CNT_CAP))
 
-    # ---- d1/d2 arena: masked row updates, one scatter
+    # ---- d1/d2 arena: masked row updates, one scatter (dense form --
+    # see the bank note above)
     newd = jnp.where(onp_b[:, None, :],
                      _slot_update(aux["d12rows"], target[:, None, :]),
                      aux["d12rows"])
@@ -668,28 +689,32 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
                          aux["see_t"]].add(d_see),
         1e-3, 1.0 - 1e-3)
 
-    # ---- state bank: advance path-node automaton states, adapt the
-    # shared per-(model, state) probability (src/models/indirect.cpp:16-31)
+    # ---- state bank: advance ONLY the 8 path slots' automaton states
+    # (8 indices/block instead of 256 -- the all-node gather from the
+    # tiny transition table was the profiled hot spot), adapt the shared
+    # per-(model, state) probability (src/models/indirect.cpp:16-31),
+    # and re-pack the new state's current stretch into the slot.
     s_ar = jnp.arange(N_SBANK)
-    tgt_i = target.astype(jnp.int32)[:, None, :]             # (B, 1, 256)
-    nxt = jnp.asarray(_SBANK_NEXT)[
-        s_ar[None, :, None], aux["srows"].astype(jnp.int32),
-        jnp.broadcast_to(tgt_i, aux["srows"].shape)]         # (B, NS, 256)
-    new_srows = jnp.where(onp_b[:, None, :], nxt, aux["srows"])
-    sh["sbank"] = sh["sbank"].at[s_ar[None, :], aux["srowi"]].set(new_srows)
-
-    s8 = jnp.take_along_axis(
-        aux["srows"], jnp.broadcast_to(
-            n8[:, None, :], (B, N_SBANK, 8)).astype(jnp.int32),
-        axis=2).astype(jnp.int32)                            # (B, NS, 8)
+    n8_s = jnp.broadcast_to(n8[:, None, :], (B, N_SBANK, 8)).astype(
+        jnp.int32)
+    s8p = jnp.take_along_axis(aux["srows"], n8_s, axis=2)    # (B, NS, 8) u32
+    s8 = (s8p & jnp.uint32(0xFF)).astype(jnp.int32)          # states
+    t8_i = jnp.broadcast_to(
+        t8.astype(jnp.int32)[:, None, :], (B, N_SBANK, 8))
+    nxt8 = jnp.asarray(_SBANK_NEXT)[
+        s_ar[None, :, None], s8, t8_i].astype(jnp.int32)     # (B, NS, 8)
     pm = sh["sbank_p"][s_ar[None, :, None], s8]              # (B, NS, 8)
     errs = t8[:, None, :] - pm
-    oh_s = (jnp.arange(256)[None, None, None, :]
-            == s8[:, :, :, None]).astype(jnp.float32)        # (B,NS,8,256)
-    dps = jnp.einsum("bmks,bmk->ms", oh_s, errs)
-    sh["sbank_p"] = jnp.clip(sh["sbank_p"] + SBANK_RATE * dps,
-                             1e-4, 1 - 1e-4)
-    sh["sbank_st"] = _stretch_f(sh["sbank_p"])
+    sh["sbank_p"] = jnp.clip(
+        sh["sbank_p"].at[s_ar[None, :, None], s8].add(SBANK_RATE * errs),
+        1e-4, 1 - 1e-4)
+    p_nxt = sh["sbank_p"][s_ar[None, :, None], nxt8]         # (B, NS, 8)
+    st13 = jnp.clip(_stretch_f(p_nxt) * 256.0 + 4096.0,
+                    0, 8191).astype(jnp.uint32)
+    packed = nxt8.astype(jnp.uint32) | (st13 << U8)
+    new_srows = aux["srows"].at[
+        bar[:, None, None], s_ar[None, :, None], n8_s].set(packed)
+    sh["sbank"] = sh["sbank"].at[s_ar[None, :], aux["srowi"]].set(new_srows)
 
     # ---- match confidence: dense one-hot aggregation (no scatter)
     hit = (aux["exp_bit"].astype(jnp.float32) == target[:, None, :])
@@ -840,7 +865,8 @@ def make_byte_step(cfg: EngineConfig):
         if cfg.dmc_nodes:
             pb.update(dmc.byte_update(
                 {k: pb[k] for k in
-                 ("dmc_nxt", "dmc_cnt", "dmc_cur", "dmc_top")}, byte))
+                 ("dmc_nxt", "dmc_cnt", "dmc_p", "dmc_cur", "dmc_top")},
+                byte))
 
         # ---- record-length voting: two consecutive equal gaps of the
         # same byte value nominate a record length; agreement with the

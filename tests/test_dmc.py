@@ -26,7 +26,7 @@ def test_learns_repeated_byte():
     for _ in range(30):
         pb = dict(pb, **byte_update(
             {k: pb[k] for k in
-             ("dmc_nxt", "dmc_cnt", "dmc_cur", "dmc_top")},
+             ("dmc_nxt", "dmc_cnt", "dmc_p", "dmc_cur", "dmc_top")},
             jnp.asarray([0x41])))
     p = np.asarray(predict_tree(pb))[0]
     # after seeing 'A' (01000001) repeatedly, the root bit (node 1,
@@ -42,10 +42,10 @@ def test_cloning_grows_and_freezes():
     for ch in data:
         pb = dict(pb, **byte_update(
             {k: pb[k] for k in
-             ("dmc_nxt", "dmc_cnt", "dmc_cur", "dmc_top")},
+             ("dmc_nxt", "dmc_cnt", "dmc_p", "dmc_cur", "dmc_top")},
             jnp.asarray([ch])))
     top = int(np.asarray(pb["dmc_top"])[0])
-    n = pb["dmc_nxt"].shape[1]
+    n = pb["dmc_nxt"].shape[-1] // 2
     assert N_BASE < top <= n          # cloned, then froze at the cap
     # machine stays well-formed: all pointers inside the pool
     assert int(np.asarray(pb["dmc_nxt"]).max()) < n
@@ -58,7 +58,7 @@ def test_distinct_streams_distinct_state():
         byte = jnp.asarray([0x41, 0x42])
         pb = dict(pb, **byte_update(
             {k: pb[k] for k in
-             ("dmc_nxt", "dmc_cnt", "dmc_cur", "dmc_top")}, byte))
+             ("dmc_nxt", "dmc_cnt", "dmc_p", "dmc_cur", "dmc_top")}, byte))
     p = np.asarray(predict_tree(pb))
     # lane 0 saw 'A' (bit1 of 01000001 = 1), lane 1 'B' (01000010):
     # at node 64+1 (prefix 0100000) they must disagree about the last bits

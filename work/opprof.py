@@ -1,0 +1,87 @@
+"""Capture a device trace of byte_step and print per-op time ranking."""
+
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmix_tpu.engine import (
+    EngineConfig, make_byte_step, init_shared, init_perblock, init_coder,
+    MODE_ENCODE)
+
+TRACE_DIR = "/root/repo/work/trace1"
+
+
+def main():
+    b = 256
+    cfg = EngineConfig(block_size=1 << 14, tbits=18, mbits=18, ibits=16,
+                       lstm_hidden=256, seg_size=256)
+    step = make_byte_step(cfg)
+
+    def one(sh, pb, cd, comp, byte_b):
+        mode = jnp.full((b,), MODE_ENCODE, jnp.int32)
+        return step(sh, pb, cd, comp, byte_b, jnp.int32(0), mode)
+
+    sh = init_shared(cfg)
+    pb = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (b,) + (1,) * x.ndim),
+        init_perblock(cfg))
+    cd = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (b,) + (1,) * x.ndim), init_coder(cfg))
+    comp = jnp.zeros((b, cfg.comp_size), dtype=jnp.uint8)
+    byte_b = jnp.zeros((b,), jnp.uint8)
+    jitted = jax.jit(one, donate_argnums=(0, 1, 2))
+    out = jitted(sh, pb, cd, comp, byte_b)
+    jax.block_until_ready(out)
+    sh, pb, cd, ys = out
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(5):
+            sh, pb, cd, ys = jitted(sh, pb, cd, comp, byte_b)
+        jax.block_until_ready(ys)
+
+    xs = glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True)
+    print("xplanes:", xs, file=sys.stderr)
+    from xprof.convert import raw_to_tool_data
+    data, _ = raw_to_tool_data.xspace_to_tool_data(xs, "hlo_stats", {})
+    import csv
+    import io
+    if isinstance(data, bytes):
+        data = data.decode()
+    rows = list(csv.reader(io.StringIO(data)))
+    hdr = rows[0]
+    print("columns:", hdr, file=sys.stderr)
+    # find time column
+    tcol = None
+    for i, h in enumerate(hdr):
+        if "total_time" in h.lower() or h.lower() == "occurrences":
+            pass
+    idx = {h: i for i, h in enumerate(hdr)}
+    tkey = None
+    for k in idx:
+        if "self" in k.lower() and "time" in k.lower() and "us" in k.lower():
+            tkey = k
+    if tkey is None:
+        tkey = hdr[-1]
+    body = rows[1:]
+    body.sort(key=lambda r: -float(r[idx[tkey]] or 0))
+    tot = sum(float(r[idx[tkey]] or 0) for r in body)
+    print(f"total {tkey}: {tot:,.0f}")
+    for r in body[:40]:
+        name = r[idx.get('HLO name', 0)]
+        cat = r[idx.get('category', 1)] if 'category' in idx else ''
+        t = float(r[idx[tkey]] or 0)
+        expr = ""
+        for k in idx:
+            if "expression" in k.lower():
+                expr = r[idx[k]][:140]
+        print(f"{t:12,.0f} {100*t/tot:5.1f}%  {name[:60]:60s} {expr}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Quick bpb probe on real data: engine encode of testdata blocks.
+
+Usage: ratio_probe.py [dmc_nodes] [file] [n_blocks]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    dmc_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    path = sys.argv[2] if len(sys.argv) > 2 else \
+        "/root/repo/testdata/text100k.raw"
+    nb = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    from cmix_tpu.engine import EngineConfig, MODE_ENCODE
+    from cmix_tpu.runner import get_transcoder, _group_state, _split_blocks
+
+    cfg = EngineConfig(block_size=1 << 14, tbits=18, mbits=18, ibits=16,
+                       lstm_hidden=256, seg_size=2048, dmc_nodes=dmc_nodes)
+    data = open(path, "rb").read()[:nb << 14]
+    blocks = _split_blocks(data, cfg.block_size)
+    b = blocks.shape[0]
+    trans = get_transcoder(cfg)
+    comp0 = jnp.zeros((b, cfg.comp_size), dtype=jnp.uint8)
+    sh, pb = _group_state(cfg, b)
+    t0 = time.time()
+    hist, out, out_len = trans(sh, pb, jnp.asarray(blocks), comp0,
+                               jnp.int32(MODE_ENCODE))
+    dt = time.time() - t0
+    comp = int(np.asarray(out_len).sum())
+    bpb = 8.0 * comp / len(data)
+    print(f"dmc={dmc_nodes} file={path.split('/')[-1]} n={len(data)} "
+          f"-> {comp} bytes  bpb={bpb:.4f}  ({dt:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()
