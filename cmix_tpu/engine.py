@@ -53,6 +53,8 @@ import jax.numpy as jnp
 
 from cmix_tpu.contexts.hashes import (
     init_ctx_state, update_ctx_state_batched, mix32, PRIME2, bracket_ctx)
+from cmix_tpu.contexts.x86 import (
+    init_x86_state, x86_update, x86_ctx_vals)
 from cmix_tpu.states.tables import (
     NS_NEXT, NS_INIT_P12, RUN_NEXT, RUN_INIT_P12)
 from cmix_tpu.mixer.lstm import (
@@ -66,7 +68,7 @@ MODE_DECODE = 1
 M32 = jnp.uint32(0xFFFFFFFF)
 U8 = jnp.uint32(8)
 
-N_BANK = 36   # 25 context-hash + 4 record-grid + 7 text/structure models
+N_BANK = 40   # 25 ctx-hash + 4 record-grid + 7 text + 4 x86 models
 MATCH_ORDERS = (5, 8, 12, 20)
 N_MATCH = len(MATCH_ORDERS)
 # PPM byte-distribution model: symbol-count tables per order, blended
@@ -89,9 +91,9 @@ PPM_INC = 3               # count increment per observation
 # Bank-base columns used as contexts, re-salted; last model runs the
 # run-length automaton (src/states/run-map.cpp), the rest the
 # nonstationary one (src/states/nonstationary.cpp).
-SBANK_COLS = (0, 1, 2, 3, 5, 7, 10, 14, 24)  # ord 1-4,6,8, word, sparse,
-N_SBANK = len(SBANK_COLS)                     # bracket
-SBANK_KIND = (0, 0, 0, 0, 0, 0, 0, 1, 0)     # 0=nonstationary, 1=runmap
+SBANK_COLS = (0, 1, 2, 3, 5, 7, 10, 14, 24, 36)  # ord 1-4,6,8, word,
+N_SBANK = len(SBANK_COLS)                     # sparse, bracket, x86-op
+SBANK_KIND = (0, 0, 0, 0, 0, 0, 0, 1, 0, 0)  # 0=nonstationary, 1=runmap
 SBANK_RATE = 0.02
 # d12 arena layout: [0,256) order-1 | [256,256+65536) order-2 |
 # [+512) bracket byte model over (bracket id, capped distance)
@@ -108,8 +110,8 @@ SEE_DIST_B = 16
 SEE_TOT_B = 8
 SEE_RATE = 0.02
 
-_MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64, 512, 128],
-                      dtype=np.int64)    # last two: bracket, record gates
+_MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64, 512, 128, 64],
+                      dtype=np.int64)    # last 3: bracket, record, x86
 N_MIX1 = len(_MIX1_ROWS)
 _MIX1_OFF = np.concatenate([[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
 _MIX1_TOTAL = int(_MIX1_ROWS.sum())
@@ -255,6 +257,7 @@ def init_perblock(cfg: EngineConfig):
         "rec_stride": jnp.zeros(256, dtype=jnp.int32),
         "rec_len": jnp.ones((), dtype=jnp.int32),
         "rec_cnt": jnp.zeros((), dtype=jnp.int32),
+        "x86": init_x86_state(),
     }
     if cfg.lstm_hidden:
         pb["lstm"] = init_lstm_perblock(LstmConfig(hidden=cfg.lstm_hidden))
@@ -290,11 +293,12 @@ def init_coder(cfg: EngineConfig):
 # ------------------------------------------------------------ per-byte ctxs
 
 
-def _bank_bases_b(cs, ind_val, rec_vals):
+def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
     """uint32[B, N_BANK] per-byte context values for the model bank.
 
     rec_vals: uint32 (B, 4) record-grid context values (see
-    _record_ctx_vals)."""
+    _record_ctx_vals); x86_vals: uint32 (B, 4) instruction-structure
+    contexts (contexts/x86.py)."""
     oh = cs["ohash"]                                         # (B, 25)
     l4 = cs["last4"]                                         # (B,)
     b1 = l4 & jnp.uint32(0xFF)
@@ -331,6 +335,11 @@ def _bank_bases_b(cs, ind_val, rec_vals):
                                       jnp.uint32(15))),           # 33 w+len
         oh[:, 24],                                                # 34 ord24
         mix32(cs["clsreg"], jnp.uint32(0xC2B2AE35)),              # 35 fine
+        # x86 instruction-structure contexts (contexts/x86.py; parity:
+        # the reference exeModel's quantized-instruction contexts,
+        # src/models/paq8.cpp:6590-7546)
+        x86_vals[:, 0], x86_vals[:, 1],                           # 36-39
+        x86_vals[:, 2], x86_vals[:, 3],
     ]
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
@@ -425,7 +434,8 @@ def _predict_tree_b(cfg, sh, pb, t):
     node = jnp.asarray(_NODE)
     level = jnp.asarray(_LEVEL)
     rec_vals, rec_rl, rec_posr = _record_ctx_vals(cfg, pb, t)
-    bases, brctx = _bank_bases_b(cs, pb["ind_val"], rec_vals)
+    x86_vals, x86_gate = x86_ctx_vals(pb["x86"])
+    bases, brctx = _bank_bases_b(cs, pb["ind_val"], rec_vals, x86_vals)
     brctx = brctx.astype(jnp.int32)
     B = bases.shape[0]
 
@@ -547,7 +557,8 @@ def _predict_tree_b(cfg, sh, pb, t):
         brctx,
         (jnp.minimum(rec_posr, jnp.uint32(63)) * 2).astype(jnp.int32)
         + (pb["rec_cnt"] >= 2).astype(jnp.int32),
-    ], axis=1) + jnp.asarray(_MIX1_OFF[2:])[None, :]         # (B, 8)
+        x86_gate.astype(jnp.int32),
+    ], axis=1) + jnp.asarray(_MIX1_OFF[2:])[None, :]         # (B, 9)
     w_dyn = sh["w1"][dyn_idx]                                # (B, 6, NIN)
     w_const = sh["w1"][0]                                    # (NIN,)
     w_level = jax.lax.dynamic_slice_in_dim(sh["w1"], 1, 8)   # (8, NIN)
@@ -889,6 +900,7 @@ def make_byte_step(cfg: EngineConfig):
 
         pb["ctx"] = update_ctx_state_batched(
             pb["ctx"], byte.astype(jnp.uint32))
+        pb["x86"] = x86_update(pb["x86"], byte.astype(jnp.uint32))
         sh, pb = _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev,
                                ind_prev_val)
         ind_key_new = (pb["ctx"]["last4"] & imask).astype(jnp.int32)
