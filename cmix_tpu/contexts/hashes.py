@@ -111,6 +111,10 @@ def init_ctx_state():
     return {
         "ohash": jnp.zeros(MAX_ORDER + 1, dtype=jnp.uint32),  # [o] = hash of last o bytes
         "last4": jnp.zeros((), dtype=jnp.uint32),             # packed last 4 bytes
+        "last8": jnp.zeros((), dtype=jnp.uint32),             # packed bytes t-5..t-8
+        "tag": jnp.zeros((), dtype=jnp.uint32),               # enclosing tag-name hash
+        "tagacc": jnp.zeros((), dtype=jnp.uint32),            # in-tag accumulator
+        "tagdepth": jnp.zeros((), dtype=jnp.uint32),          # open-tag nesting (capped)
         "word": jnp.zeros((), dtype=jnp.uint32),              # hash of current word prefix
         "last_word": jnp.zeros((), dtype=jnp.uint32),         # hash of last completed word
         "last_word2": jnp.zeros((), dtype=jnp.uint32),        # the word before that
@@ -131,50 +135,6 @@ def mix32(h, x):
     """uint32 hash combine (format constant)."""
     h = (h ^ x) * PHI32
     return h ^ (h >> jnp.uint32(15))
-
-
-def update_ctx_state(cs, byte_u32):
-    """Advance context state by one completed byte. Pure, unbatched."""
-    b = byte_u32.astype(jnp.uint32)
-    ohash = cs["ohash"]
-    # h_o(t) = mix(h_{o-1}(t-1), byte): shift-and-mix gives all orders at once.
-    new_ohash = jnp.concatenate(
-        [jnp.zeros(1, dtype=jnp.uint32), mix32(ohash[:-1], b)])
-    last4 = ((cs["last4"] << jnp.uint32(8)) | b)
-    lower = jnp.asarray(LOWER_MAP)[b]
-    is_letter = jnp.asarray(IS_LETTER)[b]
-    word = jnp.where(is_letter == 1, mix32(cs["word"], lower),
-                     jnp.zeros((), jnp.uint32))
-    ended = (is_letter == 0) & (cs["word"] != 0)
-    last_word = jnp.where(ended, cs["word"], cs["last_word"])
-    last_word2 = jnp.where(ended, cs["last_word"], cs["last_word2"])
-    wordlen = jnp.where(is_letter == 1,
-                        jnp.minimum(cs["wordlen"] + 1, jnp.uint32(63)),
-                        jnp.zeros((), jnp.uint32))
-    # stem-prefix hash: stop mixing after 4 letters so inflected forms
-    # share a context (cheap analogue of the reference's stemmers,
-    # src/models/fxcmv1.cpp:2662-3209, src/models/paq8.cpp:1530-2998)
-    word_pfx = jnp.where(is_letter == 0, jnp.zeros((), jnp.uint32),
-                         jnp.where(cs["wordlen"] < 4,
-                                   mix32(cs["word_pfx"], lower),
-                                   cs["word_pfx"]))
-    clsreg = ((cs["clsreg"] << jnp.uint32(4)) |
-              jnp.asarray(BYTE_CLASS)[b])
-    cls2reg = (cs["cls2reg"] << jnp.uint32(2)) | jnp.asarray(CLS2)[b]
-    sentpos = jnp.where(jnp.asarray(IS_SENT_END)[b] == 1,
-                        jnp.zeros((), jnp.uint32),
-                        jnp.minimum(cs["sentpos"] + 1, jnp.uint32(1023)))
-    linepos = jnp.where(b == jnp.uint32(10), jnp.zeros((), jnp.uint32),
-                        jnp.minimum(cs["linepos"] + 1, jnp.uint32(8191)))
-    stack, depth = _brk_step(cs["brk_stack"], cs["brk_depth"],
-                             cs["bytecnt"], b)
-    return {"ohash": new_ohash, "last4": last4, "word": word,
-            "last_word": last_word, "last_word2": last_word2,
-            "word_pfx": word_pfx, "wordlen": wordlen,
-            "clsreg": clsreg, "cls2reg": cls2reg, "sentpos": sentpos,
-            "linepos": linepos,
-            "brk_stack": stack, "brk_depth": depth,
-            "bytecnt": cs["bytecnt"] + 1}
 
 
 def _brk_step(stack, depth, pos, b):
@@ -225,7 +185,40 @@ def update_ctx_state_batched(cs, bytes_b):
     zero = jnp.zeros((b.shape[0], 1), dtype=jnp.uint32)
     new_ohash = jnp.concatenate(
         [zero, mix32(ohash[:, :-1], b[:, None])], axis=1)
+    last8 = (cs["last8"] << jnp.uint32(8)) \
+        | (cs["last4"] >> jnp.uint32(24))
     last4 = (cs["last4"] << jnp.uint32(8)) | b
+    # xml/html tag machine (capability: paq8 XMLModel/nestModel,
+    # src/models/paq8.cpp:7824-8097, :4107): '<' arms an accumulator,
+    # tag-name letters hash into it ('</' marks closing via bit 31),
+    # '>' or space latches it as the enclosing-tag context and adjusts
+    # the nesting depth
+    is_lt = b == jnp.uint32(60)
+    is_gt = b == jnp.uint32(62)
+    is_sp = b == jnp.uint32(32)
+    is_slash = b == jnp.uint32(47)
+    acc_w = cs["tagacc"]
+    close_f = acc_w >> jnp.uint32(31)
+    acc = acc_w & jnp.uint32(0x7FFFFFFF)
+    armed = acc_w != 0
+    letter = jnp.asarray(IS_LETTER)[b] == 1
+    latch = armed & (is_gt | is_sp) & (acc > 1)
+    tagacc = jnp.where(
+        is_lt, jnp.uint32(1),
+        jnp.where(armed & is_slash & (acc == 1),
+                  acc_w | jnp.uint32(0x80000000),
+                  jnp.where(armed & letter,
+                            (close_f << jnp.uint32(31))
+                            | mix32(jnp.maximum(acc, jnp.uint32(2)),
+                                    jnp.asarray(LOWER_MAP)[b]),
+                            jnp.where(armed & (is_gt | is_sp),
+                                      jnp.uint32(0), acc_w))))
+    tag = jnp.where(latch, acc, cs["tag"])
+    tagdepth = jnp.where(
+        latch & (close_f == 1), jnp.maximum(cs["tagdepth"], 1) - 1,
+        jnp.where(latch & (close_f == 0),
+                  jnp.minimum(cs["tagdepth"] + 1, jnp.uint32(15)),
+                  cs["tagdepth"]))
     lower = jnp.asarray(LOWER_MAP)[b]
     is_letter = jnp.asarray(IS_LETTER)[b]
     word = jnp.where(is_letter == 1, mix32(cs["word"], lower),
@@ -249,7 +242,9 @@ def update_ctx_state_batched(cs, bytes_b):
                         jnp.minimum(cs["linepos"] + 1, jnp.uint32(8191)))
     stack, depth = _brk_step(cs["brk_stack"], cs["brk_depth"],
                              cs["bytecnt"], b)
-    return {"ohash": new_ohash, "last4": last4, "word": word,
+    return {"ohash": new_ohash, "last4": last4, "last8": last8,
+            "tag": tag, "tagacc": tagacc, "tagdepth": tagdepth,
+            "word": word,
             "last_word": last_word, "last_word2": last_word2,
             "word_pfx": word_pfx, "wordlen": wordlen,
             "clsreg": clsreg, "cls2reg": cls2reg, "sentpos": sentpos,

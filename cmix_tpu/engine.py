@@ -68,7 +68,7 @@ MODE_DECODE = 1
 M32 = jnp.uint32(0xFFFFFFFF)
 U8 = jnp.uint32(8)
 
-N_BANK = 40   # 25 ctx-hash + 4 record-grid + 7 text + 4 x86 models
+N_BANK = 46   # 25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
 MATCH_ORDERS = (5, 8, 12, 20)
 N_MATCH = len(MATCH_ORDERS)
 # PPM byte-distribution model: symbol-count tables per order, blended
@@ -118,7 +118,10 @@ _MIX1_TOTAL = int(_MIX1_ROWS.sum())
 
 ST_CLAMP = 12.0            # stretch clamp: p in [6e-6, 1-6e-6]
 _SLOT_INIT = (4096 << 18) | (2048 << 6)   # p=0.5, st=0, cnt=0
-MIX_LR = 4e-3              # mixer learning rate
+MIX_LR = 4e-3              # mixer learning rate at t=0
+MIX_TAU = 0.0              # LR decay: lr(t) = MIX_LR*rsqrt(1+t/TAU);
+#                            0 disables (cf. the reference's decayed
+#                            mixer rate, src/mixer/mixer.cpp:56-63)
 APM_RATE = 0.02            # SSE node update rate
 CNT_CAP = 60               # counter cap: floor adaptive rate ~ 1/62
 POS_BITS = 24              # match table: low bits position, high bits block
@@ -156,6 +159,8 @@ class EngineConfig:
     ibits: int = 16             # log2 slots of indirect-hash table (shared)
     pbits: int = 20             # log2 byte slots per PPM order table
     lstm_hidden: int = 256      # 0 disables the LSTM byte mixer
+    lstm_layers: int = 2        # stacked LSTM layers
+    lstm_horizon: int = 8       # truncated-BPTT window (1 = one-step)
     dmc_nodes: int = 16384      # DMC pool per block; 0 disables
     seg_size: int = 4096        # bytes per device execution segment
 
@@ -183,6 +188,11 @@ class EngineConfig:
 
 
 # ------------------------------------------------------------------- state
+
+
+def _lstm_cfg(cfg: EngineConfig) -> LstmConfig:
+    return LstmConfig(hidden=cfg.lstm_hidden, layers=cfg.lstm_layers,
+                      horizon=cfg.lstm_horizon)
 
 
 def init_shared(cfg: EngineConfig):
@@ -238,7 +248,7 @@ def init_shared(cfg: EngineConfig):
         "vocab_force": jnp.zeros(256, dtype=jnp.int32),
     }
     if cfg.lstm_hidden:
-        sh["lstm"] = init_lstm_shared(LstmConfig(hidden=cfg.lstm_hidden))
+        sh["lstm"] = init_lstm_shared(_lstm_cfg(cfg))
     return sh
 
 
@@ -260,7 +270,7 @@ def init_perblock(cfg: EngineConfig):
         "x86": init_x86_state(),
     }
     if cfg.lstm_hidden:
-        pb["lstm"] = init_lstm_perblock(LstmConfig(hidden=cfg.lstm_hidden))
+        pb["lstm"] = init_lstm_perblock(_lstm_cfg(cfg))
     if cfg.dmc_nodes:
         pb.update(dmc.init_dmc_perblock(cfg.dmc_nodes))
     return pb
@@ -293,6 +303,20 @@ def init_coder(cfg: EngineConfig):
 # ------------------------------------------------------------ per-byte ctxs
 
 
+def _qdelta(a, b):
+    """4-bit sign+log-magnitude quantization of a byte difference --
+    the analog-delta bucketing used by the reference's audio/linear-
+    prediction contexts (src/models/paq8.cpp:4476-4502,5806-5869)."""
+    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    mag = jnp.abs(d)
+    lg = jnp.where(
+        mag > 0,
+        jnp.floor(jnp.log2(mag.astype(jnp.float32))).astype(jnp.int32)
+        + 1, 0)
+    return (jnp.minimum(lg, 7) * 2
+            + (d < 0).astype(jnp.int32)).astype(jnp.uint32)
+
+
 def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
     """uint32[B, N_BANK] per-byte context values for the model bank.
 
@@ -302,6 +326,9 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
     oh = cs["ohash"]                                         # (B, 25)
     l4 = cs["last4"]                                         # (B,)
     b1 = l4 & jnp.uint32(0xFF)
+    b2 = (l4 >> U8) & jnp.uint32(0xFF)
+    b3 = (l4 >> jnp.uint32(16)) & jnp.uint32(0xFF)
+    b6 = (cs["last8"] >> U8) & jnp.uint32(0xFF)
     vals = [
         oh[:, 1], oh[:, 2], oh[:, 3], oh[:, 4], oh[:, 5], oh[:, 6],
         oh[:, 7], oh[:, 8],                                       # 0-7
@@ -340,6 +367,18 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
         # src/models/paq8.cpp:6590-7546)
         x86_vals[:, 0], x86_vals[:, 1],                           # 36-39
         x86_vals[:, 2], x86_vals[:, 3],
+        # analog/structure contexts (capability: paq8 sparseModel /
+        # linearPredictionModel / audioModel delta contexts
+        # (paq8.cpp:4504,4476,5806) and XMLModel (:7824))
+        mix32(b3 | (b6 << U8), jnp.uint32(0x3C6EF372)),           # 40 stride3
+        mix32(((b1 + b2) >> jnp.uint32(1)) | (_qdelta(b1, b2) << U8),
+              jnp.uint32(0xA54FF53A)),                            # 41 analog
+        mix32(_qdelta(b1, b2) | (_qdelta(b2, b3) << jnp.uint32(4)),
+              jnp.uint32(0x510E527F)),                            # 42 deltas
+        mix32(cs["tag"], cs["tagdepth"] + jnp.uint32(0x9B)),      # 43 xmltag
+        (b1 >> jnp.uint32(4)) | ((b2 >> jnp.uint32(4)) << jnp.uint32(4))
+        | ((b3 >> jnp.uint32(4)) << U8),                          # 44 nibbles
+        mix32(jnp.minimum(cs["linepos"], jnp.uint32(511)), b1),   # 45 column
     ]
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
@@ -629,13 +668,15 @@ def _predict_tree_b(cfg, sh, pb, t):
 # ------------------------------------------------------------- tree update
 
 
-def _update_tree_b(cfg, sh, pb, aux, byte):
+def _update_tree_b(cfg, sh, pb, aux, byte, t):
     """Adapt every model along each block's 8-node tree path.
 
     Shared dense tables aggregate all blocks' deltas (sum semantics);
     slot updates are explicit-index scatters touching 8 path slots per
     block per table.  byte: (B,) int32.
     """
+    lr = MIX_LR if not MIX_TAU else \
+        MIX_LR * jax.lax.rsqrt(1.0 + t.astype(jnp.float32) / MIX_TAU)
     level = jnp.asarray(_LEVEL)
     node = jnp.asarray(_NODE)
     B = byte.shape[0]
@@ -744,27 +785,27 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     err1 = (target[:, None, :] - aux["p1"]) * on_path[:, None, :]  # (B,8,256)
     dws = jnp.einsum("bmk,bnk->bmn", err1, aux["x"])         # (B, 8, NIN)
     sh["w1"] = sh["w1"].at[0].set(
-        aux["w_const"] + MIX_LR * jnp.sum(dws[:, 0], axis=0))
+        aux["w_const"] + lr * jnp.sum(dws[:, 0], axis=0))
     lvl_onehot = jnp.asarray(_LVL_ONEHOT)                    # (8, 256)
     dl = jnp.einsum("lk,bk,bnk->ln", lvl_onehot, err1[:, 1], aux["x"])
     sh["w1"] = jax.lax.dynamic_update_slice_in_dim(
-        sh["w1"], aux["w_level"] + MIX_LR * dl, 1, axis=0)
-    sh["w1"] = sh["w1"].at[aux["dyn_idx"]].add(MIX_LR * dws[:, 2:])
-    sh["bias1"] = sh["bias1"] + MIX_LR * jnp.sum(err1, axis=0)
+        sh["w1"], aux["w_level"] + lr * dl, 1, axis=0)
+    sh["w1"] = sh["w1"].at[aux["dyn_idx"]].add(lr * dws[:, 2:])
+    sh["bias1"] = sh["bias1"] + lr * jnp.sum(err1, axis=0)
 
     err2 = (target[:, None, :] - aux["p2"]) * on_path[:, None, :]  # (B,3,256)
     dw2 = jnp.einsum("lk,bk,bmk->lm", lvl_onehot, err2[:, 0], aux["st1"])
-    sh["w2"] = sh["w2"] + MIX_LR * dw2
+    sh["w2"] = sh["w2"] + lr * dw2
     dw2b = jnp.einsum("bk,bmk->bm", err2[:, 1], aux["st1"])
-    sh["w2b"] = sh["w2b"].at[aux["b1"]].add(MIX_LR * dw2b)
+    sh["w2b"] = sh["w2b"].at[aux["b1"]].add(lr * dw2b)
     dw2c = jnp.einsum("bk,bmk->bm", err2[:, 2], aux["st1"])
-    sh["w2c"] = sh["w2c"].at[aux["clsg"]].add(MIX_LR * dw2c)
-    sh["bias2"] = sh["bias2"] + MIX_LR * jnp.sum(err2, axis=0)
+    sh["w2c"] = sh["w2c"].at[aux["clsg"]].add(lr * dw2c)
+    sh["bias2"] = sh["bias2"] + lr * jnp.sum(err2, axis=0)
 
     err3 = (target - aux["p_mix"]) * on_path                 # (B, 256)
     dw3 = jnp.einsum("lk,bk,bjk->lj", lvl_onehot, err3, aux["st2"])
-    sh["w3"] = sh["w3"] + MIX_LR * dw3
-    sh["bias3"] = sh["bias3"] + MIX_LR * jnp.sum(err3, axis=0)
+    sh["w3"] = sh["w3"] + lr * dw3
+    sh["bias3"] = sh["bias3"] + lr * jnp.sum(err3, axis=0)
 
     # ---- APMs: in-row one-hot updates, one row scatter
     p_tree_p = jnp.take_along_axis(aux["p_tree"], n8, axis=1)  # (B, 8)
@@ -789,7 +830,7 @@ def _update_tree_b(cfg, sh, pb, aux, byte):
     # ---- final blend weights (match-state gated)
     err_f = (target - aux["p_tree"]) * on_path               # (B, 256)
     dwa = jnp.einsum("bk,bjk->bj", err_f, aux["st_in"])
-    sh["w_apm"] = sh["w_apm"].at[aux["longest"]].add(MIX_LR * dwa)
+    sh["w_apm"] = sh["w_apm"].at[aux["longest"]].add(lr * dwa)
     return sh
 
 
@@ -867,7 +908,7 @@ def make_byte_step(cfg: EngineConfig):
         ys = tuple(emits) + (c32,)
         byte = byte_acc & 255                                # (B,)
 
-        sh = _update_tree_b(cfg, sh, pb, aux, byte)
+        sh = _update_tree_b(cfg, sh, pb, aux, byte, t)
 
         pb["hist"] = jax.lax.dynamic_update_slice(
             pb["hist"], byte.astype(jnp.uint8)[:, None],
@@ -907,7 +948,7 @@ def make_byte_step(cfg: EngineConfig):
         pb["ind_val"] = sh["aux_tbl"][ind_base + ind_key_new]
         if cfg.lstm_hidden:
             sh["lstm"], pb["lstm"] = lstm_shared_byte_update(
-                LstmConfig(hidden=cfg.lstm_hidden),
+                _lstm_cfg(cfg),
                 sh["lstm"], pb["lstm"], byte)
         return sh, pb, cd, ys
 

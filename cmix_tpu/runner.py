@@ -78,7 +78,8 @@ _RAW_FLAG = 0x80000000
 _FLAG_WRT = 1
 _FLAG_PRETRAIN = 2
 
-_HDR = "<BBBBBBBBHHQQI8s32s"      # +u8 log2(dmc_nodes), 0 = disabled
+_HDR = "<BBBBBBBBBBHHQQI8s32s"    # u8 log2(dmc_nodes) (0 = off),
+#                                   u8 lstm layers, u8 lstm horizon
 _HDR_LEN = struct.calcsize(_HDR)
 
 _TRANSCODER_CACHE = {}
@@ -197,6 +198,7 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         _HDR, FORMAT_VERSION, flags, cfg.block_size.bit_length() - 1,
         cfg.tbits, cfg.mbits, cfg.ibits, cfg.pbits,
         cfg.dmc_nodes.bit_length() - 1 if cfg.dmc_nodes else 0,
+        cfg.lstm_layers, cfg.lstm_horizon,
         cfg.lstm_hidden, eb, len(data), len(payload), nb, fp, vocab)
     segtbl = b""
     if flags & _FLAG_WRT:
@@ -211,12 +213,13 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
 def decompress(archive: bytes, max_batch: int = 64,
                dictionary: str = None) -> bytes:
     assert archive[:4] == MAGIC, "bad magic"
-    (ver, flags, log_bs, tbits, mbits, ibits, pbits, dmc_log, lstm_hidden,
-     eb, orig_len, payload_len, nb, fp, vocab) = struct.unpack(
-        _HDR, archive[4:4 + _HDR_LEN])
+    (ver, flags, log_bs, tbits, mbits, ibits, pbits, dmc_log, lstm_layers,
+     lstm_horizon, lstm_hidden, eb, orig_len, payload_len, nb, fp,
+     vocab) = struct.unpack(_HDR, archive[4:4 + _HDR_LEN])
     assert ver == FORMAT_VERSION, f"format version {ver} unsupported"
     cfg = EngineConfig(block_size=1 << log_bs, tbits=tbits, mbits=mbits,
                        ibits=ibits, pbits=pbits, lstm_hidden=lstm_hidden,
+                       lstm_layers=lstm_layers, lstm_horizon=lstm_horizon,
                        dmc_nodes=(1 << dmc_log) if dmc_log else 0)
     d, dict_bytes, fp2 = _load_dictionary(dictionary)
     base = None

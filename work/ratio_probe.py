@@ -18,11 +18,22 @@ def main():
     path = sys.argv[2] if len(sys.argv) > 2 else \
         "/root/repo/testdata/text100k.raw"
     nb = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    import os
+    import cmix_tpu.engine as eng
+    if "MIX_LR" in os.environ:
+        eng.MIX_LR = float(os.environ["MIX_LR"])
+    if "MIX_TAU" in os.environ:
+        eng.MIX_TAU = float(os.environ["MIX_TAU"])
     from cmix_tpu.engine import EngineConfig, MODE_ENCODE
     from cmix_tpu.runner import get_transcoder, _group_state, _split_blocks
+    print(f"lr={eng.MIX_LR} tau={eng.MIX_TAU}", end=" ")
 
-    cfg = EngineConfig(block_size=1 << 14, tbits=18, mbits=18, ibits=16,
-                       lstm_hidden=256, seg_size=2048, dmc_nodes=dmc_nodes)
+    cfg = EngineConfig(
+        block_size=1 << 14, tbits=18, mbits=18, ibits=16,
+        lstm_hidden=int(os.environ.get("LSTM_H", 256)),
+        lstm_layers=int(os.environ.get("LSTM_L", 2)),
+        lstm_horizon=int(os.environ.get("LSTM_W", 8)),
+        seg_size=2048, dmc_nodes=dmc_nodes)
     data = open(path, "rb").read()[:nb << 14]
     blocks = _split_blocks(data, cfg.block_size)
     b = blocks.shape[0]
