@@ -267,6 +267,10 @@ def init_perblock(cfg: EngineConfig):
         "rec_stride": jnp.zeros(256, dtype=jnp.int32),
         "rec_len": jnp.ones((), dtype=jnp.int32),
         "rec_cnt": jnp.zeros((), dtype=jnp.int32),
+        # known row/frame stride from media preprocessing (0 = none);
+        # overrides the voted record length (paq8's imgModel routing,
+        # paq8.cpp:5386-5804, done host-side here and threaded in)
+        "rec_forced": jnp.zeros((), dtype=jnp.int32),
         "x86": init_x86_state(),
     }
     if cfg.lstm_hidden:
@@ -389,6 +393,7 @@ def _record_ctx_vals(cfg, pb, t):
     """Record-grid context values: byte above, two-above, column position
     (active only once two consecutive equal gaps confirmed a length)."""
     rl = jnp.where(pb["rec_cnt"] >= 2, pb["rec_len"], 1)     # (B,)
+    rl = jnp.where(pb["rec_forced"] > 0, pb["rec_forced"], rl)
     bar = jnp.arange(rl.shape[0])
     n = cfg.block_size
     above = pb["hist"][bar, jnp.mod(t - rl, n)].astype(jnp.uint32)

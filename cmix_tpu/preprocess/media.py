@@ -1,0 +1,220 @@
+"""Image/audio container detection + reversible pixel transforms.
+
+Capability parity with the reference's media handling:
+
+* filetype detection from headers -- BMP / PGM / PPM / WAV, the
+  header-parsing side of paq8's imgModel/audioModel routing
+  (src/models/paq8.cpp:5386-5804, :5806-5869) and the preprocessor's
+  BMP/PBM-PGM-PPM detectors (src/preprocess/preprocessor.cpp:177-289).
+* a reversible 24-bit color decorrelation (G, B-G, R-G) -- the
+  capability class of encode_bmp's G, G-R, G-B planar delta
+  (src/preprocess/preprocessor.cpp:302-375), kept interleaved here so
+  the block-parallel engine sees a spatially local stream.
+
+Detected spans carry (stride, cell): row length in bytes and bytes per
+pixel/sample-frame.  The runner threads these into per-block state so the
+engine's grid contexts (engine._grid_ctx_vals) can address the W/N/NW/NE
+pixel neighborhood -- the TPU-native form of paq8's im8/im24 models
+(src/models/paq8.cpp:4743-5385).
+"""
+
+import struct
+
+
+class MediaSpan:
+    """A detected media region: data_off/data_len address the PIXEL DATA
+    (headers stay raw), kind in {'img8','img24','audio'}."""
+
+    __slots__ = ("kind", "data_off", "data_len", "stride", "cell")
+
+    def __init__(self, kind, data_off, data_len, stride, cell):
+        self.kind = kind
+        self.data_off = data_off
+        self.data_len = data_len
+        self.stride = stride
+        self.cell = cell
+
+    def __repr__(self):
+        return (f"MediaSpan({self.kind}, off={self.data_off}, "
+                f"len={self.data_len}, stride={self.stride}, "
+                f"cell={self.cell})")
+
+
+def _parse_bmp(data, i):
+    """BMP at offset i -> MediaSpan or None (cf. detect() BMP branch,
+    src/preprocess/preprocessor.cpp:177-220)."""
+    if i + 54 > len(data) or data[i:i + 2] != b"BM":
+        return None
+    try:
+        data_off, hdr_size = struct.unpack_from("<II", data, i + 10)
+        if hdr_size < 40:
+            return None
+        w, h = struct.unpack_from("<ii", data, i + 18)
+        planes, bpp = struct.unpack_from("<HH", data, i + 26)
+        (comp,) = struct.unpack_from("<I", data, i + 30)
+    except struct.error:
+        return None
+    if planes != 1 or comp != 0 or bpp not in (8, 24, 32):
+        return None
+    if not (0 < w < 0x40000 and 0 < abs(h) < 0x40000):
+        return None
+    rowbytes = ((w * bpp // 8) + 3) & ~3
+    n = rowbytes * abs(h)
+    if data_off < 26 or i + data_off + n > len(data) or n < 256:
+        return None
+    kind = "img8" if bpp == 8 else "img24"
+    cell = bpp // 8
+    return MediaSpan(kind, i + data_off, n, rowbytes, cell)
+
+
+def _parse_pnm(data, i):
+    """Binary PGM (P5) / PPM (P6) at offset i."""
+    if i + 2 > len(data) or data[i] != 0x50 or data[i + 1] not in (0x35,
+                                                                   0x36):
+        return None
+    is_ppm = data[i + 1] == 0x36
+    j = i + 2
+    fields = []
+    while len(fields) < 3 and j < min(len(data), i + 256):
+        c = data[j]
+        if c in b" \t\r\n":
+            j += 1
+        elif c == 0x23:                       # '#' comment to EOL
+            while j < len(data) and data[j] != 0x0A:
+                j += 1
+        elif 0x30 <= c <= 0x39:
+            v = 0
+            while j < len(data) and 0x30 <= data[j] <= 0x39:
+                v = v * 10 + data[j] - 0x30
+                j += 1
+            fields.append(v)
+        else:
+            return None
+    if len(fields) < 3 or j >= len(data) or data[j] not in b" \t\r\n":
+        return None
+    j += 1                                    # single whitespace after maxval
+    w, h, maxval = fields
+    if not (0 < w < 0x40000 and 0 < h < 0x40000 and 0 < maxval < 256):
+        return None
+    cell = 3 if is_ppm else 1
+    n = w * h * cell
+    if j + n > len(data) or n < 256:
+        return None
+    return MediaSpan("img24" if is_ppm else "img8", j, n, w * cell, cell)
+
+
+def _parse_wav(data, i):
+    """RIFF/WAVE PCM at offset i -> MediaSpan over the data chunk."""
+    if i + 44 > len(data) or data[i:i + 4] != b"RIFF" \
+            or data[i + 8:i + 12] != b"WAVE":
+        return None
+    j = i + 12
+    fmt = None
+    while j + 8 <= len(data):
+        cid = data[j:j + 4]
+        (clen,) = struct.unpack_from("<I", data, j + 4)
+        if cid == b"fmt " and clen >= 16:
+            tag, ch, _, _, align, bits = struct.unpack_from(
+                "<HHIIHH", data, j + 8)
+            if tag != 1 or ch not in (1, 2) or bits not in (8, 16):
+                return None
+            fmt = (ch, bits, align)
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            ch, bits, align = fmt
+            n = min(clen, len(data) - j - 8)
+            if n < 1024:
+                return None
+            cell = max(1, align)              # frame = ch * bits/8 bytes
+            # stride = 2 frames: N taps the sample TWO frames back, so
+            # the grid gradient W + N - NW is a linear extrapolation in
+            # sample space (the reference's LPC idea, paq8.cpp:5806-5869)
+            return MediaSpan("audio", j + 8, n, 2 * cell, cell)
+        j += 8 + clen + (clen & 1)
+    return None
+
+
+_MAGIC_PARSERS = (
+    (b"BM", _parse_bmp),
+    (b"P5", _parse_pnm),
+    (b"P6", _parse_pnm),
+    (b"RIFF", _parse_wav),
+)
+
+
+def find_media_spans(data: bytes):
+    """Scan for embedded media; returns non-overlapping MediaSpans in
+    ascending offset order (first match wins, scan resumes after span)."""
+    spans = []
+    i = 0
+    n = len(data)
+    while i < n - 64:
+        hit = None
+        for magic, parser in _MAGIC_PARSERS:
+            if data[i:i + len(magic)] == magic:
+                hit = parser(data, i)
+                if hit is not None:
+                    break
+        if hit is not None:
+            spans.append(hit)
+            i = hit.data_off + hit.data_len
+        else:
+            # jump to the next candidate magic byte
+            nxt = n
+            for magic, _ in _MAGIC_PARSERS:
+                k = data.find(magic[:1], i + 1, n)
+                if k != -1:
+                    nxt = min(nxt, k)
+            i = nxt
+    return spans
+
+
+# --------------------------------------------------- 24bpp color transform
+
+
+def img24_encode(seg: bytes, stride: int = 0) -> bytes:
+    """Interleaved color decorrelation for 3-byte pixels:
+    (c0, c1, c2) -> (c1, c0-c1, c2-c1) mod 256.  For BMP's BGR order this
+    is (G, B-G, R-G) -- same family as the reference's encode_bmp
+    (src/preprocess/preprocessor.cpp:302-375).  ``stride`` > 0 restarts
+    triple alignment at every row boundary (BMP rows are padded to 4
+    bytes, so triples do not stay channel-aligned across rows); trailing
+    non-triple bytes of each row pass through.  Vectorized (numpy)."""
+    import numpy as np
+    a = np.frombuffer(seg, dtype=np.uint8).copy()
+    if stride <= 0:
+        stride = len(a)
+    rw = stride - stride % 3                  # transformable bytes per row
+    nrows = -(-len(a) // stride) if stride else 0
+    for r in range(nrows):
+        lo = r * stride
+        w = min(rw, max(0, len(a) - lo) - max(0, len(a) - lo) % 3)
+        if w <= 0:
+            continue
+        px = a[lo:lo + w].reshape(-1, 3).astype(np.int16)
+        g = px[:, 1]
+        a[lo:lo + w] = np.stack(
+            [g, (px[:, 0] - g) & 0xFF, (px[:, 2] - g) & 0xFF],
+            axis=1).astype(np.uint8).reshape(-1)
+    return a.tobytes()
+
+
+def img24_decode(seg: bytes, stride: int = 0) -> bytes:
+    import numpy as np
+    a = np.frombuffer(seg, dtype=np.uint8).copy()
+    if stride <= 0:
+        stride = len(a)
+    rw = stride - stride % 3
+    nrows = -(-len(a) // stride) if stride else 0
+    for r in range(nrows):
+        lo = r * stride
+        w = min(rw, max(0, len(a) - lo) - max(0, len(a) - lo) % 3)
+        if w <= 0:
+            continue
+        px = a[lo:lo + w].reshape(-1, 3).astype(np.int16)
+        g = px[:, 0]
+        a[lo:lo + w] = np.stack(
+            [(px[:, 1] + g) & 0xFF, g, (px[:, 2] + g) & 0xFF],
+            axis=1).astype(np.uint8).reshape(-1)
+    return a.tobytes()

@@ -277,6 +277,10 @@ def exe_score(data: bytes) -> int:
 # ------------------------------------------------- segmented preprocessing
 
 SEG_RAW, SEG_TEXT, SEG_EXE = 0, 1, 2
+# media segments (preprocess/media.py): entries carry a 4th field, the
+# row/frame stride in bytes, threaded to the engine's record-grid contexts
+SEG_IMG24, SEG_IMG8, SEG_AUDIO = 3, 4, 5
+_MEDIA_SEGS = (SEG_IMG24, SEG_IMG8, SEG_AUDIO)
 _DETECT_CHUNK = 1 << 16
 
 
@@ -291,27 +295,52 @@ def transform(data: bytes, dictionary=None):
     if not data:
         return data, [(SEG_RAW, 0, 0)]
     n = len(data)
-    types = []
-    for lo in range(0, n, _DETECT_CHUNK):
-        chunk = data[lo:lo + _DETECT_CHUNK]
-        tt = detect_text_chunks(chunk, chunk=len(chunk) or 1)
-        if tt.mean() >= 0.9:
-            types.append(SEG_TEXT)
-        elif exe_score(chunk) * 400 >= len(chunk):
-            types.append(SEG_EXE)
-        else:
-            types.append(SEG_RAW)
-    # merge adjacent same-type detection chunks into segments
-    segs = []
-    start = 0
-    for i in range(1, len(types) + 1):
-        if i == len(types) or types[i] != types[start // _DETECT_CHUNK]:
-            segs.append((types[start // _DETECT_CHUNK], start,
-                         min(i * _DETECT_CHUNK, n)))
-            start = i * _DETECT_CHUNK
+
+    # media regions first (headers stay in the surrounding stream); the
+    # chunk detector then only sees the gaps, so pixel/sample data is
+    # never misclassified as text/EXE (cf. preprocessor.cpp detect()
+    # precedence, src/preprocess/preprocessor.cpp:177-289)
+    from cmix_tpu.preprocess.media import find_media_spans
+    spans = find_media_spans(data)
+
+    def _detect_region(lo_r, hi_r, segs):
+        types = []
+        offs = list(range(lo_r, hi_r, _DETECT_CHUNK))
+        for lo in offs:
+            chunk = data[lo:min(lo + _DETECT_CHUNK, hi_r)]
+            tt = detect_text_chunks(chunk, chunk=len(chunk) or 1)
+            if tt.mean() >= 0.9:
+                types.append(SEG_TEXT)
+            elif exe_score(chunk) * 400 >= len(chunk):
+                types.append(SEG_EXE)
+            else:
+                types.append(SEG_RAW)
+        # merge adjacent same-type detection chunks into segments
+        start = 0
+        for i in range(1, len(types) + 1):
+            if i == len(types) or types[i] != types[start]:
+                segs.append((types[start], offs[start],
+                             min(offs[start] + (i - start) * _DETECT_CHUNK,
+                                 hi_r), 0))
+                start = i
+
+    segs = []                                # (type, lo, hi, stride)
+    pos = 0
+    for sp in spans:
+        if sp.data_off > pos:
+            _detect_region(pos, sp.data_off, segs)
+        kind = {"img24": SEG_IMG24, "img8": SEG_IMG8,
+                "audio": SEG_AUDIO}[sp.kind]
+        segs.append((kind, sp.data_off, sp.data_off + sp.data_len,
+                     sp.stride))
+        pos = sp.data_off + sp.data_len
+    if pos < n:
+        _detect_region(pos, n, segs)
+
+    from cmix_tpu.preprocess.media import img24_encode
     payload = bytearray()
     meta = []
-    for typ, lo, hi in segs:
+    for typ, lo, hi, stride in segs:
         raw = data[lo:hi]
         if typ == SEG_TEXT and dictionary is not None:
             enc = dictionary.encode(raw)
@@ -324,15 +353,53 @@ def transform(data: bytes, dictionary=None):
             payload += enc
             meta.append((SEG_EXE, len(enc), len(raw)))
             continue
+        if typ == SEG_IMG24:
+            payload += img24_encode(raw, stride)
+            meta.append((SEG_IMG24, len(raw), len(raw), stride))
+            continue
+        if typ in (SEG_IMG8, SEG_AUDIO):     # pass-through + stride hint
+            payload += raw
+            meta.append((typ, len(raw), len(raw), stride))
+            continue
         payload += raw
         meta.append((SEG_RAW, len(raw), len(raw)))
     return bytes(payload), meta
 
 
+def block_strides(meta, n_blocks, block_size):
+    """Per-block forced record length from media segment strides.
+
+    A media segment's stride engages for a block when it covers more of
+    the block than any other media segment and at least a quarter of it.
+    Derived purely from the segment table, so encode and decode agree
+    (the forced length changes predictions and is part of the format).
+    """
+    import numpy as np
+    cover = np.zeros(n_blocks, dtype=np.int64)
+    forced = np.zeros(n_blocks, dtype=np.int32)
+    off = 0
+    for entry in meta:
+        typ, enc_len = entry[0], entry[1]
+        if typ in _MEDIA_SEGS and len(entry) > 3 and 2 <= entry[3] < 4096:
+            stride = entry[3]
+            b0 = off // block_size
+            b1 = min((off + enc_len - 1) // block_size, n_blocks - 1)
+            for b in range(b0, b1 + 1):
+                lo = max(off, b * block_size)
+                hi = min(off + enc_len, (b + 1) * block_size)
+                c = hi - lo
+                if c > cover[b] and c * 4 >= block_size:
+                    cover[b] = c
+                    forced[b] = stride
+        off += enc_len
+    return forced
+
+
 def untransform(payload: bytes, meta, dictionary=None) -> bytes:
     out = bytearray()
     off = 0
-    for typ, enc_len, raw_len in meta:
+    for entry in meta:
+        typ, enc_len = entry[0], entry[1]
         seg = payload[off:off + enc_len]
         off += enc_len
         if typ == SEG_TEXT:
@@ -340,6 +407,9 @@ def untransform(payload: bytes, meta, dictionary=None) -> bytes:
             out += dictionary.decode(seg)
         elif typ == SEG_EXE:
             out += exe_decode(seg)
+        elif typ == SEG_IMG24:
+            from cmix_tpu.preprocess.media import img24_decode
+            out += img24_decode(seg, entry[3])
         else:
             out += seg
     return bytes(out)

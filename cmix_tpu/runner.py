@@ -16,9 +16,11 @@ Archive format v2:
   | u64 payload_len | u32 n_blocks | 8s dict_fingerprint
   | n_blocks * u32 comp_len   (high bit set => block stored raw)
   | concatenated block streams
-flags: bit0 = segmented preprocessing applied (per-segment WRT/EXE
-transforms; segment table follows the fixed header), bit1 =
-dictionary-pretrained models.
+flags: bit0 = segmented preprocessing applied (per-segment WRT/EXE/media
+transforms; segment table follows the fixed header — 9-byte `<BII`
+(type, enc_len, raw_len) records, media types 3-5 are 13-byte `<BIII`
+with a trailing u32 row/frame stride that seeds the engine's record-grid
+contexts identically on both sides), bit1 = dictionary-pretrained models.
 exec_batch: the device batch size the archive was coded at.  f32 model
 math is bit-identical between encode and decode only when both run the
 same executable, and the batch size is part of the compiled shape -- so
@@ -145,8 +147,7 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     base = None
     from cmix_tpu.preprocess.wrt import transform
     payload, seg_meta = transform(data, d)
-    if len(payload) >= len(data) and all(
-            t == 0 for t, _, _ in seg_meta):
+    if len(payload) >= len(data) and all(e[0] == 0 for e in seg_meta):
         payload, seg_meta = data, None       # nothing transformed
     else:
         flags |= _FLAG_WRT
@@ -162,12 +163,19 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     vocab = _vocab_bitmap(payload)
     vforce = jnp.asarray(_vocab_force(vocab))
 
+    forced_rl = None
+    if seg_meta is not None:
+        from cmix_tpu.preprocess.wrt import block_strides
+        forced_rl = block_strides(seg_meta, nb, n)
+
     prog = None
     if show_progress:
         from cmix_tpu.utils.profiling import Progress
         ticker = Progress(nb * n, "progress")
         done_base = [0]
-        prog = lambda d: ticker.update(done_base[0] + d)
+        group_frac = [1.0]                   # real lanes / exec batch
+        prog = lambda d: ticker.update(done_base[0]
+                                       + int(d * group_frac[0]))
     streams = []
     for lo in range(0, nb, eb):
         batch = blocks[lo:lo + eb]
@@ -175,8 +183,14 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         if b < eb:                           # pad group to the exec batch
             batch = np.concatenate(
                 [batch, np.zeros((eb - b, n), dtype=np.uint8)], axis=0)
+        if prog is not None:
+            group_frac[0] = b / eb
         sh, pb = _group_state(cfg, eb, base)
-        sh["vocab_force"] = vforce
+        sh["vocab_force"] = jnp.array(vforce)    # fresh: transcoder donates
+        if forced_rl is not None:
+            fr = np.zeros(eb, dtype=np.int32)
+            fr[:b] = forced_rl[lo:lo + b]
+            pb["rec_forced"] = jnp.asarray(fr)
         comp0 = jnp.zeros((eb, cfg.comp_size), dtype=jnp.uint8)
         _, out, out_len = trans(sh, pb, jnp.asarray(batch), comp0,
                                 jnp.int32(MODE_ENCODE), meter=meter,
@@ -202,8 +216,13 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         cfg.lstm_hidden, eb, len(data), len(payload), nb, fp, vocab)
     segtbl = b""
     if flags & _FLAG_WRT:
-        segtbl = struct.pack("<I", len(seg_meta)) + b"".join(
-            struct.pack("<BII", t, el, rl) for t, el, rl in seg_meta)
+        parts = [struct.pack("<I", len(seg_meta))]
+        for e in seg_meta:                   # media entries carry stride
+            if len(e) > 3:
+                parts.append(struct.pack("<BIII", e[0], e[1], e[2], e[3]))
+            else:
+                parts.append(struct.pack("<BII", e[0], e[1], e[2]))
+        segtbl = b"".join(parts)
     lens = b"".join(
         struct.pack("<I", (len(s) | (_RAW_FLAG if raw else 0)))
         for raw, s in streams)
@@ -236,10 +255,18 @@ def decompress(archive: bytes, max_batch: int = 64,
         (nseg,) = struct.unpack("<I", archive[off:off + 4])
         off += 4
         seg_meta = []
+        from cmix_tpu.preprocess.wrt import _MEDIA_SEGS
         for _ in range(nseg):
-            t, el, rl = struct.unpack("<BII", archive[off:off + 9])
-            seg_meta.append((t, el, rl))
-            off += 9
+            t = archive[off]
+            if t in _MEDIA_SEGS:
+                t, el, rl, stride = struct.unpack(
+                    "<BIII", archive[off:off + 13])
+                seg_meta.append((t, el, rl, stride))
+                off += 13
+            else:
+                t, el, rl = struct.unpack("<BII", archive[off:off + 9])
+                seg_meta.append((t, el, rl))
+                off += 9
     lens = struct.unpack("<" + "I" * nb, archive[off:off + 4 * nb])
     off += 4 * nb
     streams = []
@@ -251,6 +278,10 @@ def decompress(archive: bytes, max_batch: int = 64,
 
     trans = get_transcoder(cfg)
     n = cfg.block_size
+    forced_rl = None
+    if seg_meta is not None:
+        from cmix_tpu.preprocess.wrt import block_strides
+        forced_rl = block_strides(seg_meta, nb, n)
     out_parts = [None] * nb
     # decode groups mirror encode groups exactly: raw-stored blocks are
     # re-fed through encode-mode lanes so shared model state matches.
@@ -267,6 +298,10 @@ def decompress(archive: bytes, max_batch: int = 64,
                 modes[j] = MODE_DECODE
         sh, pb = _group_state(cfg, eb, base)
         sh["vocab_force"] = jnp.asarray(_vocab_force(vocab))
+        if forced_rl is not None:
+            fr = np.zeros(eb, dtype=np.int32)
+            fr[:len(group)] = forced_rl[lo:lo + len(group)]
+            pb["rec_forced"] = jnp.asarray(fr)
         hist, _, _ = trans(sh, pb, jnp.asarray(inp), jnp.asarray(comp),
                            jnp.asarray(modes))
         hist = np.asarray(hist)

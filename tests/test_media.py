@@ -1,0 +1,111 @@
+"""Media detection + transforms (preprocess/media.py).
+
+Covers the capability of the reference's BMP/PNM/WAV handling: header
+detection (src/preprocess/preprocessor.cpp:177-289), the 24bpp color
+decorrelation (encode_bmp, preprocessor.cpp:302-375), and the stride
+hint threaded into the engine's record-grid contexts.
+"""
+
+import struct
+
+import numpy as np
+
+from cmix_tpu.engine import EngineConfig
+from cmix_tpu.preprocess.media import (
+    find_media_spans, img24_encode, img24_decode)
+from cmix_tpu.preprocess.wrt import (
+    transform, untransform, block_strides, SEG_IMG24, SEG_IMG8, SEG_AUDIO)
+from cmix_tpu.runner import compress, decompress
+
+
+def _bmp24(w, h, rng):
+    rowbytes = (w * 3 + 3) & ~3
+    hdr = b"BM" + struct.pack("<IHHI", 54 + rowbytes * h, 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       rowbytes * h, 2835, 2835, 0, 0)
+    # smooth gradient + noise: decorrelation should help
+    y, x = np.mgrid[0:h, 0:w]
+    base = ((x * 3 + y * 2) % 250).astype(np.uint8)
+    px = np.zeros((h, rowbytes), dtype=np.uint8)
+    for c in range(3):
+        px[:, c:w * 3:3] = base + c + rng.integers(0, 3, (h, w),
+                                                   dtype=np.uint8)
+    return hdr + px.tobytes()
+
+
+def _pgm(w, h, rng):
+    hdr = f"P5\n{w} {h}\n255\n".encode()
+    return hdr + rng.integers(0, 255, w * h, dtype=np.uint8).tobytes()
+
+
+def _wav(nframes, rng):
+    t = np.arange(nframes)
+    samples = (3000 * np.sin(t / 9.0)).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_detect_bmp():
+    rng = np.random.default_rng(0)
+    data = b"prefix bytes " + _bmp24(40, 30, rng) + b" suffix"
+    spans = find_media_spans(data)
+    assert len(spans) == 1
+    sp = spans[0]
+    assert sp.kind == "img24" and sp.cell == 3
+    assert sp.stride == (40 * 3 + 3) & ~3
+    assert sp.data_len == sp.stride * 30
+    assert data[sp.data_off - 54:sp.data_off - 52] == b"BM"
+
+
+def test_detect_pgm_and_wav():
+    rng = np.random.default_rng(1)
+    data = _pgm(32, 20, rng) + b"xx" + _wav(2000, rng)
+    spans = find_media_spans(data)
+    kinds = [s.kind for s in spans]
+    assert kinds == ["img8", "audio"]
+    assert spans[0].stride == 32 and spans[0].data_len == 32 * 20
+    assert spans[1].cell == 2 and spans[1].stride == 4
+
+
+def test_img24_roundtrip_with_padding():
+    rng = np.random.default_rng(2)
+    stride = (7 * 3 + 3) & ~3                  # 24, not a multiple of 3
+    seg = rng.integers(0, 256, stride * 11 + 5, dtype=np.uint8).tobytes()
+    enc = img24_encode(seg, stride)
+    assert len(enc) == len(seg) and enc != seg
+    assert img24_decode(enc, stride) == seg
+
+
+def test_transform_untransform_media():
+    rng = np.random.default_rng(3)
+    data = b"hello " * 50 + _bmp24(60, 40, rng) + b"\x00" * 100
+    payload, meta = transform(data, None)
+    assert len(payload) == len(data)
+    types = [e[0] for e in meta]
+    assert SEG_IMG24 in types
+    img = [e for e in meta if e[0] == SEG_IMG24][0]
+    assert img[3] == (60 * 3 + 3) & ~3
+    assert untransform(payload, meta, None) == data
+
+
+def test_block_strides():
+    meta = [(0, 1000, 1000), (SEG_IMG24, 5000, 5000, 180),
+            (0, 2000, 2000), (SEG_AUDIO, 600, 600, 4)]
+    fr = block_strides(meta, 5, 2048)
+    # img24 covers [1000,6000): majority of blocks 0,1,2
+    assert list(fr[:3]) == [180, 180, 180]
+    # audio seg at [8000,8600) covers 600 of block 3 => < quarter: off
+    assert fr[3] == 0 and fr[4] == 0
+
+
+def test_compress_roundtrip_bmp():
+    rng = np.random.default_rng(4)
+    data = _bmp24(50, 45, rng)                 # ~7 KB, spans blocks
+    cfg = EngineConfig(block_size=2048, tbits=14, mbits=14, ibits=12,
+                       lstm_hidden=0)
+    arch = compress(data, cfg)
+    assert decompress(arch) == data
+    assert len(arch) < len(data)               # gradient image compresses
