@@ -45,6 +45,7 @@ semantics); colliding slot writes resolve deterministically per
 executable.
 """
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -68,16 +69,28 @@ MODE_DECODE = 1
 M32 = jnp.uint32(0xFFFFFFFF)
 U8 = jnp.uint32(8)
 
-N_BANK = 46   # 25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
-MATCH_ORDERS = (5, 8, 12, 20)
+# Double-indirect contexts (the reference instantiates 11 Indirect models
+# over IndirectHash history-of-hash contexts, src/predictor.cpp:166-178 +
+# src/contexts/indirect-hash.cpp): "what followed this context last time"
+# becomes itself a context.  Keys: order-2 bytes, order-1 byte, order-3
+# hash, current word hash.
+N_IND = int(os.environ.get("CMIX_N_IND", "4"))
+N_BANK = 45 + N_IND  # 25 ctx-hash + 4 record + 7 text + 4 x86
+#                      + 6 analog/xml + N_IND double-indirect
+MATCH_ORDERS = tuple(
+    int(o) for o in os.environ.get(
+        "CMIX_MATCH_ORDERS", "5,8,12,20").split(","))
 N_MATCH = len(MATCH_ORDERS)
 # PPM byte-distribution model: symbol-count tables per order, blended
 # highest-order-first with PPM-C escape estimation (capability class of
 # the reference's mod_ppmd, src/models/ppmd.cpp:956-1155 -- redesigned as
 # dense row gathers instead of a pointer suffix tree).
-PPM_ORDERS = (1, 2, 3, 4, 6, 8, 12)
+PPM_ORDERS = tuple(
+    int(o) for o in os.environ.get(
+        "CMIX_PPM_ORDERS", "1,2,3,4,6,8,12").split(","))
 N_PPM = len(PPM_ORDERS)
 PPM_INC = 3               # count increment per observation
+PPM_EXCL = int(os.environ.get("PPM_EXCL", "0"))  # symbol exclusion
 # State-machine bank (the reference's Indirect models over bit-history
 # automata, src/models/indirect.cpp:16-31 + src/states/*): slots pack an
 # 8-bit automaton state WITH the st13 stretch of that state's learned
@@ -91,9 +104,13 @@ PPM_INC = 3               # count increment per observation
 # Bank-base columns used as contexts, re-salted; last model runs the
 # run-length automaton (src/states/run-map.cpp), the rest the
 # nonstationary one (src/states/nonstationary.cpp).
-SBANK_COLS = (0, 1, 2, 3, 5, 7, 10, 14, 24, 36)  # ord 1-4,6,8, word,
-N_SBANK = len(SBANK_COLS)                     # sparse, bracket, x86-op
-SBANK_KIND = (0, 0, 0, 0, 0, 0, 0, 1, 0, 0)  # 0=nonstationary, 1=runmap
+SBANK_COLS = tuple(
+    int(c) for c in os.environ.get(
+        "CMIX_SBANK_COLS", "0,1,2,3,5,7,10,14,24,36").split(","))
+N_SBANK = len(SBANK_COLS)  # default: ord 1-4,6,8, word, sparse, bracket, x86
+_SBANK_KIND_DEF = {14: 1}  # sparse col runs the run-length automaton
+SBANK_KIND = tuple(_SBANK_KIND_DEF.get(c, 0) for c in SBANK_COLS)
+# 0=nonstationary, 1=runmap
 SBANK_RATE = 0.02
 # d12 arena layout: [0,256) order-1 | [256,256+65536) order-2 |
 # [+512) bracket byte model over (bracket id, capped distance)
@@ -123,6 +140,13 @@ MIX_TAU = 0.0              # LR decay: lr(t) = MIX_LR*rsqrt(1+t/TAU);
 #                            0 disables (cf. the reference's decayed
 #                            mixer rate, src/mixer/mixer.cpp:56-63)
 APM_RATE = 0.02            # SSE node update rate
+# Per-row adaptive LR warmup for the context-gated layer-1 mixers: a row
+# seen cnt times learns at lr*(1 + MIX_BOOST*N/(cnt+N)) -- fresh contexts
+# adapt fast, mature ones settle (capability class of the reference's
+# count-decayed mixer rate, src/mixer/mixer.cpp:56-63, re-keyed per
+# weight row instead of per stream).  MIX_BOOST=0 disables.
+MIX_BOOST = float(os.environ.get("MIX_BOOST", "0"))
+MIX_BOOST_N = float(os.environ.get("MIX_BOOST_N", "256"))
 CNT_CAP = 60               # counter cap: floor adaptive rate ~ 1/62
 POS_BITS = 24              # match table: low bits position, high bits block
 
@@ -209,8 +233,9 @@ def init_shared(cfg: EngineConfig):
         "d12": jnp.full((D12_ROWS, 256), _SLOT_INIT, dtype=jnp.uint32),
         # match tables (N_MATCH x 2^mbits) and the indirect-hash table
         # share one flat uint32 arena so their updates are one scatter
-        "aux_tbl": jnp.zeros(N_MATCH * (1 << cfg.mbits) + (1 << cfg.ibits),
-                             dtype=jnp.uint32),
+        "aux_tbl": jnp.zeros(
+            N_MATCH * (1 << cfg.mbits) + N_IND * (1 << cfg.ibits),
+            dtype=jnp.uint32),
         "match_conf": jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32),
         # PPM symbol counts: one uint8 count per (order, context row, byte)
         "ppm": jnp.zeros((N_PPM, cfg.prows, 256), dtype=jnp.uint8),
@@ -224,6 +249,7 @@ def init_shared(cfg: EngineConfig):
         "sbank_p": jnp.asarray(_SBANK_P0),
         "w1": jnp.full((_MIX1_TOTAL, N_INPUTS), 1.0 / N_INPUTS,
                        dtype=jnp.float32),
+        "w1_cnt": jnp.zeros(_MIX1_TOTAL, dtype=jnp.float32),
         "bias1": jnp.zeros((N_MIX1, 256), dtype=jnp.float32),
         # layer-2: three context-gated mixers over the layer-1 outputs
         # (level / last byte / byte-class gates), then a level-gated
@@ -256,7 +282,7 @@ def init_perblock(cfg: EngineConfig):
     """Per-block positional state (unbatched; runner broadcasts to B)."""
     pb = {
         "ctx": init_ctx_state(),
-        "ind_val": jnp.zeros((), dtype=jnp.uint32),
+        "ind_val": jnp.zeros(N_IND, dtype=jnp.uint32),
         "hist": jnp.zeros(cfg.block_size, dtype=jnp.uint8),
         "mp_blk": jnp.zeros(N_MATCH, dtype=jnp.int32),
         "mp_pos": jnp.zeros(N_MATCH, dtype=jnp.int32),
@@ -346,7 +372,7 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
         (l4 >> U8) & jnp.uint32(0xFFFFFF),                        # 15
         cs["clsreg"] & jnp.uint32(0xFFFFFF),                      # 16
         mix32(cs["clsreg"] & jnp.uint32(0xFFFF), cs["word"]),     # 17
-        ind_val,                                                  # 18
+        ind_val[:, 0],                                            # 18
         b1,                                                       # 19
         l4 & jnp.uint32(0xFFFF),                                  # 20
         oh[:, 10],                                                # 21
@@ -384,6 +410,7 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
         | ((b3 >> jnp.uint32(4)) << U8),                          # 44 nibbles
         mix32(jnp.minimum(cs["linepos"], jnp.uint32(511)), b1),   # 45 column
     ]
+    vals.extend(ind_val[:, j] for j in range(1, N_IND))      # 46+ indirect
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24]
@@ -537,6 +564,23 @@ def _predict_tree_b(cfg, sh, pb, t):
     p_ar = jnp.arange(N_PPM)
     ppm_rows = sh["ppm"][p_ar[None, :], prowi]               # (B,NP,256) u8
     pcnt = ppm_rows.astype(jnp.float32)
+    if PPM_EXCL:
+        # symbol exclusion (the property that makes PPMD strong,
+        # src/models/ppmd.cpp update-exclusion walk): a symbol counted
+        # at a higher order is removed from every lower order's
+        # distribution, and the final fallback is uniform over the
+        # never-seen set only.  One reversed cumsum, fully dense.
+        rev = pcnt[:, ::-1, :]                               # high order 1st
+        seen = jnp.cumsum((rev > 0).astype(jnp.float32), axis=1)
+        seen_above = jnp.concatenate(
+            [jnp.zeros((B, 1, 256), jnp.float32), seen[:, :-1]], axis=1)
+        pcnt = jnp.where(seen_above > 0, 0.0, rev)[:, ::-1, :]
+        unseen = (seen[:, -1, :] == 0).astype(jnp.float32)   # (B, 256)
+        n_uns = jnp.sum(unseen, axis=1, keepdims=True)
+        fb = jnp.where(n_uns > 0, unseen / jnp.maximum(n_uns, 1.0),
+                       1.0 / 256.0)                          # (B, 256)
+    else:
+        fb = 1.0 / 256.0
     ptot = jnp.sum(pcnt, axis=2)                             # (B, NP)
     pdst = jnp.sum((pcnt > 0).astype(jnp.float32), axis=2)   # distinct
     # SEE: escape probability from the learned (order, distinct, total)
@@ -554,7 +598,7 @@ def _predict_tree_b(cfg, sh, pb, t):
     w_ord = (wcum * (1.0 - esc_rev))[:, ::-1]                # back ascending
     pnorm = pcnt / jnp.maximum(ptot, 1.0)[:, :, None]
     q = jnp.einsum("bn,bnk->bk", w_ord, pnorm) \
-        + (wcum[:, -1] * esc_rev[:, -1])[:, None] * (1.0 / 256.0)
+        + (wcum[:, -1] * esc_rev[:, -1])[:, None] * fb
     pqcum = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(q, axis=1)], axis=1)
     q_lo = pqcum[:, jnp.asarray(_LO)]
@@ -658,7 +702,8 @@ def _predict_tree_b(cfg, sh, pb, t):
     p_tree = _squash_f(st_fin)                               # (B, 256)
 
     aux = dict(rowi=rowi, rows=rows, b1=b1, d12_idx=d12_idx,
-               prowi=prowi, ppm_rows=ppm_rows, srowi=srowi, srows=srows,
+               prowi=prowi, ppm_rows=ppm_rows, pcnt_eff=pcnt,
+               srowi=srowi, srows=srows,
                see_d=see_d, see_t=see_t, see_p=see_p, ptot=ptot,
                d12rows=d12rows, apm_idx=apm_idx, apm_rows=apm_rows,
                alive=alive, exp_bit=exp_bit, lenb=lenb,
@@ -737,8 +782,11 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     sh["ppm"] = sh["ppm"].at[p_ar[None, :], aux["prowi"]].set(prow_new)
 
     # ---- SEE: adapt escape estimates toward observed escape events
-    # (escape at order o <=> the coded byte had count 0 in that row)
-    esc_t = (obs[:, :, 0] == 0).astype(jnp.float32)          # (B, NP)
+    # (escape at order o <=> the coded byte had count 0 in that row;
+    # under exclusion, count 0 in the EXCLUDED distribution)
+    obs_eff = jnp.take_along_axis(
+        aux["pcnt_eff"], byte[:, None, None], axis=2)        # (B, NP, 1)
+    esc_t = (obs_eff[:, :, 0] == 0).astype(jnp.float32)      # (B, NP)
     see_msk = (aux["ptot"] > 0).astype(jnp.float32)
     d_see = SEE_RATE * (esc_t - aux["see_p"]) * see_msk
     sh["ppm_see"] = jnp.clip(
@@ -795,7 +843,14 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     dl = jnp.einsum("lk,bk,bnk->ln", lvl_onehot, err1[:, 1], aux["x"])
     sh["w1"] = jax.lax.dynamic_update_slice_in_dim(
         sh["w1"], aux["w_level"] + lr * dl, 1, axis=0)
-    sh["w1"] = sh["w1"].at[aux["dyn_idx"]].add(lr * dws[:, 2:])
+    if MIX_BOOST:
+        cnt_dyn = sh["w1_cnt"][aux["dyn_idx"]]               # (B, 9)
+        boost = 1.0 + MIX_BOOST * MIX_BOOST_N / (cnt_dyn + MIX_BOOST_N)
+        sh["w1"] = sh["w1"].at[aux["dyn_idx"]].add(
+            (lr * boost)[:, :, None] * dws[:, 2:])
+        sh["w1_cnt"] = sh["w1_cnt"].at[aux["dyn_idx"]].add(1.0)
+    else:
+        sh["w1"] = sh["w1"].at[aux["dyn_idx"]].add(lr * dws[:, 2:])
     sh["bias1"] = sh["bias1"] + lr * jnp.sum(err1, axis=0)
 
     err2 = (target[:, None, :] - aux["p2"]) * on_path[:, None, :]  # (B,3,256)
@@ -857,10 +912,11 @@ def _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev, ind_prev_val):
         (B, N_MATCH))
 
     ind_base = N_MATCH * (1 << cfg.mbits)
-    newv = mix32(ind_prev_val, byte.astype(jnp.uint32))
+    ind_off = ind_base + jnp.arange(N_IND, dtype=jnp.int32) * (1 << cfg.ibits)
+    newv = mix32(ind_prev_val, byte[:, None].astype(jnp.uint32))  # (B, NI)
     widx = jnp.concatenate(
-        [midx, (ind_base + ind_key_prev)[:, None]], axis=1)  # (B, 3)
-    wval = jnp.concatenate([ins, newv[:, None]], axis=1)
+        [midx, ind_off[None, :] + ind_key_prev], axis=1)     # (B, NM+NI)
+    wval = jnp.concatenate([ins, newv], axis=1)
     sh["aux_tbl"] = sh["aux_tbl"].at[widx].set(wval)
 
     pred = pb["hist"][pb["mp_blk"],
@@ -883,12 +939,22 @@ def _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev, ind_prev_val):
 def make_byte_step(cfg: EngineConfig):
     imask = jnp.uint32((1 << cfg.ibits) - 1)
 
+    def ind_keys(cs):
+        """(B, N_IND) int32 keys of the double-indirect variants."""
+        ks = [cs["last4"] & imask,
+              cs["last4"] & jnp.uint32(0xFF),
+              cs["ohash"][:, 3] & imask,
+              cs["word"] & imask]
+        return jnp.stack(ks[:N_IND], axis=1).astype(jnp.int32)
+
     def byte_step(sh, pb, cd, comp, inp_byte_b, t, mode):
         """One byte for every block. inp_byte_b: (B,) uint8; t scalar."""
         B = inp_byte_b.shape[0]
         ind_base = N_MATCH * (1 << cfg.mbits)
-        ind_key_prev = (pb["ctx"]["last4"] & imask).astype(jnp.int32)
-        ind_prev_val = sh["aux_tbl"][ind_base + ind_key_prev]
+        ind_off = ind_base + jnp.arange(
+            N_IND, dtype=jnp.int32) * (1 << cfg.ibits)       # (NI,)
+        ind_key_prev = ind_keys(pb["ctx"])                   # (B, NI)
+        ind_prev_val = sh["aux_tbl"][ind_off[None, :] + ind_key_prev]
 
         p_tree, aux = _predict_tree_b(cfg, sh, pb, t)
         p16_tree = jnp.clip((p_tree * 65536.0).astype(jnp.int32),
@@ -949,8 +1015,8 @@ def make_byte_step(cfg: EngineConfig):
         pb["x86"] = x86_update(pb["x86"], byte.astype(jnp.uint32))
         sh, pb = _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev,
                                ind_prev_val)
-        ind_key_new = (pb["ctx"]["last4"] & imask).astype(jnp.int32)
-        pb["ind_val"] = sh["aux_tbl"][ind_base + ind_key_new]
+        ind_key_new = ind_keys(pb["ctx"])                    # (B, NI)
+        pb["ind_val"] = sh["aux_tbl"][ind_off[None, :] + ind_key_new]
         if cfg.lstm_hidden:
             sh["lstm"], pb["lstm"] = lstm_shared_byte_update(
                 _lstm_cfg(cfg),

@@ -12,6 +12,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+except Exception:
+    pass
+
 
 def main():
     dmc_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
@@ -29,11 +34,28 @@ def main():
     print(f"lr={eng.MIX_LR} tau={eng.MIX_TAU}", end=" ")
 
     cfg = EngineConfig(
-        block_size=1 << 14, tbits=18, mbits=18, ibits=16,
+        block_size=1 << 14,
+        tbits=int(os.environ.get("TBITS", 18)),
+        mbits=int(os.environ.get("MBITS", 18)),
+        ibits=int(os.environ.get("IBITS", 16)),
+        pbits=int(os.environ.get("PBITS", 20)),
         lstm_hidden=int(os.environ.get("LSTM_H", 256)),
         lstm_layers=int(os.environ.get("LSTM_L", 2)),
         lstm_horizon=int(os.environ.get("LSTM_W", 8)),
         seg_size=2048, dmc_nodes=dmc_nodes)
+    tags = [f"t/m/i/p={cfg.tbits}/{cfg.mbits}/{cfg.ibits}/{cfg.pbits}",
+            f"W={cfg.lstm_horizon}"]
+    if eng.MIX_BOOST:
+        tags.append(f"boost={eng.MIX_BOOST}/{eng.MIX_BOOST_N:g}")
+    if len(eng.PPM_ORDERS) != 10:
+        tags.append(f"ppm={len(eng.PPM_ORDERS)}")
+    if eng.MATCH_ORDERS != (5, 8, 12, 20):
+        tags.append(f"match={len(eng.MATCH_ORDERS)}")
+    if eng.N_SBANK != 10:
+        tags.append(f"sbank={eng.N_SBANK}")
+    if eng.N_IND != 4:
+        tags.append(f"ind={eng.N_IND}")
+    print(" ".join(tags), end=" ")
     data = open(path, "rb").read()[:nb << 14]
     blocks = _split_blocks(data, cfg.block_size)
     b = blocks.shape[0]
