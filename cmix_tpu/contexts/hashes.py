@@ -88,6 +88,7 @@ for _q, _i in ((34, 5), (39, 6), (96, 7)):
     _BR_CLOSE[_q] = _i
 BR_OPEN, BR_CLOSE = _BR_OPEN, _BR_CLOSE
 BRK_DEPTH = 16          # bracket stack depth (older entries drop off)
+LINE_W = 64             # line-grid buffer width (columns tracked)
 
 
 # Coarse 2-bit byte classes for the long class register (the fxcm
@@ -128,6 +129,14 @@ def init_ctx_state():
         "brk_stack": jnp.zeros(BRK_DEPTH, dtype=jnp.uint32),
         "brk_depth": jnp.zeros((), dtype=jnp.uint32),
         "bytecnt": jnp.zeros((), dtype=jnp.uint32),
+        # line grid: first LINE_W bytes of the current and previous line
+        # (vertical column contexts for line-structured data -- the
+        # capability class of fxcm's wiki table/column streams,
+        # src/models/fxcmv1.cpp:2007-2147, without the wiki-markup
+        # specialization)
+        "lbuf": jnp.zeros(LINE_W, dtype=jnp.uint32),
+        "plbuf": jnp.full(LINE_W, 0xFFFF, dtype=jnp.uint32),
+        "plen": jnp.zeros((), dtype=jnp.uint32),
     }
 
 
@@ -242,6 +251,16 @@ def update_ctx_state_batched(cs, bytes_b):
                         jnp.minimum(cs["linepos"] + 1, jnp.uint32(8191)))
     stack, depth = _brk_step(cs["brk_stack"], cs["brk_depth"],
                              cs["bytecnt"], b)
+    # line grid: record this byte at its column; on newline the current
+    # buffer becomes the previous line (the newline byte itself is not
+    # recorded, so plbuf holds the finished line's bytes)
+    is_nl = b == jnp.uint32(10)
+    lane = jnp.arange(LINE_W, dtype=jnp.uint32)
+    wsel = (lane[None, :] == cs["linepos"][:, None]) & (~is_nl)[:, None]
+    lbuf_w = jnp.where(wsel, b[:, None], cs["lbuf"])
+    plbuf = jnp.where(is_nl[:, None], lbuf_w, cs["plbuf"])
+    lbuf = jnp.where(is_nl[:, None], jnp.uint32(0xFFFF), lbuf_w)
+    plen = jnp.where(is_nl, cs["linepos"], cs["plen"])
     return {"ohash": new_ohash, "last4": last4, "last8": last8,
             "tag": tag, "tagacc": tagacc, "tagdepth": tagdepth,
             "word": word,
@@ -250,4 +269,5 @@ def update_ctx_state_batched(cs, bytes_b):
             "clsreg": clsreg, "cls2reg": cls2reg, "sentpos": sentpos,
             "linepos": linepos,
             "brk_stack": stack, "brk_depth": depth,
-            "bytecnt": cs["bytecnt"] + 1}
+            "bytecnt": cs["bytecnt"] + 1,
+            "lbuf": lbuf, "plbuf": plbuf, "plen": plen}

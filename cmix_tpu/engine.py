@@ -75,8 +75,8 @@ U8 = jnp.uint32(8)
 # becomes itself a context.  Keys: order-2 bytes, order-1 byte, order-3
 # hash, current word hash.
 N_IND = int(os.environ.get("CMIX_N_IND", "4"))
-N_BANK = 45 + N_IND  # 25 ctx-hash + 4 record + 7 text + 4 x86
-#                      + 6 analog/xml + N_IND double-indirect
+N_BANK = 47 + N_IND  # 25 ctx-hash + 4 record + 7 text + 4 x86
+#                      + 6 analog/xml + 2 line-grid + N_IND double-indirect
 MATCH_ORDERS = tuple(
     int(o) for o in os.environ.get(
         "CMIX_MATCH_ORDERS", "5,8,12,20").split(","))
@@ -410,7 +410,22 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
         | ((b3 >> jnp.uint32(4)) << U8),                          # 44 nibbles
         mix32(jnp.minimum(cs["linepos"], jnp.uint32(511)), b1),   # 45 column
     ]
-    vals.extend(ind_val[:, j] for j in range(1, N_IND))      # 46+ indirect
+    # line-grid vertical contexts: the byte at this column in the
+    # PREVIOUS line (0xFFFF when past its end / width) -- the capability
+    # class of fxcm's wiki column streams (src/models/fxcmv1.cpp:
+    # 2007-2147) for any line-structured data
+    lane = jnp.arange(64, dtype=jnp.uint32)
+    cpos = jnp.minimum(cs["linepos"], jnp.uint32(63))
+    above_l = jnp.sum(
+        cs["plbuf"] * (lane[None, :] == cpos[:, None]), axis=1)
+    above_l = jnp.where(
+        (cs["linepos"] < 64) & (cs["linepos"] <= cs["plen"]),
+        above_l, jnp.uint32(0xFFFF))
+    vals.append(mix32(above_l, jnp.minimum(cs["linepos"],
+                                           jnp.uint32(255))))  # 46 above+col
+    vals.append(mix32(above_l | (b1 << jnp.uint32(16)),
+                      jnp.uint32(0x165667B1)))                 # 47 above+left
+    vals.extend(ind_val[:, j] for j in range(1, N_IND))      # 48+ indirect
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24]

@@ -55,6 +55,8 @@ def main():
         tags.append(f"sbank={eng.N_SBANK}")
     if eng.N_IND != 4:
         tags.append(f"ind={eng.N_IND}")
+    if eng.PPM_EXCL:
+        tags.append("excl")
     print(" ".join(tags), end=" ")
     data = open(path, "rb").read()[:nb << 14]
     blocks = _split_blocks(data, cfg.block_size)
