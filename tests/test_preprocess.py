@@ -92,3 +92,17 @@ def test_segmented_transform(d):
     assert wrt.untransform(payload, meta, d) == data
     types = [t for t, _, _ in meta]
     assert wrt.SEG_EXE in types
+
+
+def test_make_dict_builds_wrt_compatible_list(tmp_path):
+    from cmix_tpu.tools.make_dict import build_dictionary
+    corpus = open("/root/repo/testdata/text100k.raw", "rb").read()
+    words = build_dictionary([corpus], max_words=300)
+    assert 0 < len(words) <= 300
+    # frequency-ordered: first word at least as frequent as the last
+    assert corpus.lower().count(words[0]) >= corpus.lower().count(words[-1])
+    p = tmp_path / "t.dic"
+    p.write_bytes(b"\n".join(words) + b"\n")
+    dd = wrt.Dictionary(str(p))
+    data = corpus[:4000]
+    assert dd.decode(dd.encode(data)) == data
