@@ -132,6 +132,11 @@ _MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64, 512, 128, 64],
 N_MIX1 = len(_MIX1_ROWS)
 _MIX1_OFF = np.concatenate([[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
 _MIX1_TOTAL = int(_MIX1_ROWS.sum())
+# layer-2 mixer input width: layer-1 outputs + optional raw aux taps
+# (LSTM, PPM, DMC stretches -- the reference's auxiliary inputs,
+# src/predictor.cpp:72-75,388-406)
+MIX_AUX = int(os.environ.get("MIX_AUX", "0"))
+M2IN = N_MIX1 + (3 if MIX_AUX else 0)
 
 ST_CLAMP = 12.0            # stretch clamp: p in [6e-6, 1-6e-6]
 _SLOT_INIT = (4096 << 18) | (2048 << 6)   # p=0.5, st=0, cnt=0
@@ -255,9 +260,9 @@ def init_shared(cfg: EngineConfig):
         # (level / last byte / byte-class gates), then a level-gated
         # layer-3 combiner -- the reference's 26->20->1 mixer tree
         # (src/predictor.cpp:330-356) collapsed to 10->3->1
-        "w2": jnp.full((8, N_MIX1), 1.0 / N_MIX1, dtype=jnp.float32),
-        "w2b": jnp.full((256, N_MIX1), 1.0 / N_MIX1, dtype=jnp.float32),
-        "w2c": jnp.full((64, N_MIX1), 1.0 / N_MIX1, dtype=jnp.float32),
+        "w2": jnp.full((8, M2IN), 1.0 / M2IN, dtype=jnp.float32),
+        "w2b": jnp.full((256, M2IN), 1.0 / M2IN, dtype=jnp.float32),
+        "w2c": jnp.full((64, M2IN), 1.0 / M2IN, dtype=jnp.float32),
         "bias2": jnp.zeros((3, 256), dtype=jnp.float32),
         "w3": jnp.full((8, 3), 1.0 / 3.0, dtype=jnp.float32),
         "bias3": jnp.zeros(256, dtype=jnp.float32),
@@ -676,11 +681,21 @@ def _predict_tree_b(cfg, sh, pb, t):
     p1 = _squash_f(dots)
     st1 = jnp.clip(dots, -ST_CLAMP, ST_CLAMP)
 
+    if MIX_AUX:
+        # auxiliary taps: the LSTM/PPM/DMC stretches re-fed RAW into the
+        # layer-2 mixers alongside the layer-1 outputs (the reference's
+        # auxiliary channel, src/predictor.cpp:72-75,388-406)
+        aux_ch = jnp.asarray(
+            [N_BANK + 4 + N_MATCH, N_BANK + 4 + N_MATCH + 1,
+             N_INPUTS - 1])
+        st1c = jnp.concatenate([st1, x[:, aux_ch, :]], axis=1)
+    else:
+        st1c = st1
     clsg = (cs["clsreg"] & jnp.uint32(63)).astype(jnp.int32)  # (B,)
-    w2n = sh["w2"][level]                                    # (256, M1)
-    dot2a = jnp.einsum("km,bmk->bk", w2n, st1)
-    dot2b = jnp.einsum("bm,bmk->bk", sh["w2b"][b1], st1)
-    dot2c = jnp.einsum("bm,bmk->bk", sh["w2c"][clsg], st1)
+    w2n = sh["w2"][level]                                    # (256, M2IN)
+    dot2a = jnp.einsum("km,bmk->bk", w2n, st1c)
+    dot2b = jnp.einsum("bm,bmk->bk", sh["w2b"][b1], st1c)
+    dot2c = jnp.einsum("bm,bmk->bk", sh["w2c"][clsg], st1c)
     dot2 = jnp.stack([dot2a, dot2b, dot2c], axis=1) \
         + sh["bias2"][None]                                  # (B, 3, 256)
     p2 = _squash_f(dot2)
@@ -723,7 +738,7 @@ def _predict_tree_b(cfg, sh, pb, t):
                d12rows=d12rows, apm_idx=apm_idx, apm_rows=apm_rows,
                alive=alive, exp_bit=exp_bit, lenb=lenb,
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
-               w_level=w_level, p1=p1, st1=st1, p_mix=p_mix,
+               w_level=w_level, p1=p1, st1=st1c, p_mix=p_mix,
                p2=p2, st2=st2, clsg=clsg,
                longest=longest, t1=t1, f1=f1, t2=t2, f2=f2, t3=t3, f3=f3,
                st_in=st_in, p_tree=p_tree)
