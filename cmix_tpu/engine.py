@@ -127,8 +127,15 @@ SEE_DIST_B = 16
 SEE_TOT_B = 8
 SEE_RATE = 0.02
 
-_MIX1_ROWS = np.array([1, 8, 256, 1024, 64, 256, 256, 64, 512, 128, 64],
-                      dtype=np.int64)    # last 3: bracket, record, x86
+# layer-1 mixer gate rows: const, level, last byte, order-2 bits,
+# longest-match, word byte, class register, line position, bracket,
+# record, x86; MIX_DYN2 appends 4 more gates (line-grid above byte,
+# 2nd-last byte, wordlen+coarse class, xml tag) toward the reference's
+# 26-mixer layer 0 (src/predictor.cpp:184-328)
+MIX_DYN2 = int(os.environ.get("MIX_DYN2", "0"))
+_MIX1_ROWS = np.array(
+    [1, 8, 256, 1024, 64, 256, 256, 64, 512, 128, 64]
+    + ([257, 256, 64, 256] if MIX_DYN2 else []), dtype=np.int64)
 N_MIX1 = len(_MIX1_ROWS)
 _MIX1_OFF = np.concatenate([[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
 _MIX1_TOTAL = int(_MIX1_ROWS.sum())
@@ -433,7 +440,7 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
     vals.extend(ind_val[:, j] for j in range(1, N_IND))      # 48+ indirect
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
-    return mix32(v, salt[None, :]), vals[24]
+    return mix32(v, salt[None, :]), vals[24], above_l
 
 
 def _record_ctx_vals(cfg, pb, t):
@@ -526,7 +533,8 @@ def _predict_tree_b(cfg, sh, pb, t):
     level = jnp.asarray(_LEVEL)
     rec_vals, rec_rl, rec_posr = _record_ctx_vals(cfg, pb, t)
     x86_vals, x86_gate = x86_ctx_vals(pb["x86"])
-    bases, brctx = _bank_bases_b(cs, pb["ind_val"], rec_vals, x86_vals)
+    bases, brctx, above_l = _bank_bases_b(cs, pb["ind_val"], rec_vals,
+                                          x86_vals)
     brctx = brctx.astype(jnp.int32)
     B = bases.shape[0]
 
@@ -666,7 +674,15 @@ def _predict_tree_b(cfg, sh, pb, t):
         (jnp.minimum(rec_posr, jnp.uint32(63)) * 2).astype(jnp.int32)
         + (pb["rec_cnt"] >= 2).astype(jnp.int32),
         x86_gate.astype(jnp.int32),
-    ], axis=1) + jnp.asarray(_MIX1_OFF[2:])[None, :]         # (B, 9)
+    ] + ([
+        jnp.minimum(above_l, jnp.uint32(256)).astype(jnp.int32),
+        ((cs["last4"] >> jnp.uint32(8))
+         & jnp.uint32(0xFF)).astype(jnp.int32),
+        (jnp.minimum(cs["wordlen"], jnp.uint32(15)) * 4
+         + (cs["cls2reg"] & jnp.uint32(3))).astype(jnp.int32),
+        (cs["tag"] & jnp.uint32(0xFF)).astype(jnp.int32),
+    ] if MIX_DYN2 else []), axis=1) \
+        + jnp.asarray(_MIX1_OFF[2:])[None, :]                # (B, ND)
     w_dyn = sh["w1"][dyn_idx]                                # (B, 6, NIN)
     w_const = sh["w1"][0]                                    # (NIN,)
     w_level = jax.lax.dynamic_slice_in_dim(sh["w1"], 1, 8)   # (8, NIN)
