@@ -137,7 +137,27 @@ def init_ctx_state():
         "lbuf": jnp.zeros(LINE_W, dtype=jnp.uint32),
         "plbuf": jnp.full(LINE_W, 0xFFFF, dtype=jnp.uint32),
         "plen": jnp.zeros((), dtype=jnp.uint32),
+        # length of the current line's prefix that matches the previous
+        # line (vertical match model state; stops growing at the first
+        # mismatch, resets on newline)
+        "lml": jnp.zeros((), dtype=jnp.uint32),
     }
+
+
+def line_expected(cs):
+    """(expected, alive): the previous-line byte predicted at the current
+    column of each block -- plbuf[linepos] inside the line, LF at its end,
+    sentinel 0x1FF past it -- and whether the whole prefix so far matched."""
+    lane = jnp.arange(LINE_W, dtype=jnp.uint32)
+    cpos = jnp.minimum(cs["linepos"], jnp.uint32(LINE_W - 1))
+    above = jnp.sum(cs["plbuf"] * (lane[None, :] == cpos[:, None]), axis=1)
+    exp = jnp.where(
+        (cs["linepos"] < cs["plen"]) & (cs["linepos"] < LINE_W),
+        above,
+        jnp.where(cs["linepos"] == cs["plen"], jnp.uint32(10),
+                  jnp.uint32(0x1FF)))
+    alive = (cs["lml"] == cs["linepos"]) & (exp < 256) & (cs["plen"] > 0)
+    return exp, alive
 
 
 def mix32(h, x):
@@ -261,6 +281,10 @@ def update_ctx_state_batched(cs, bytes_b):
     plbuf = jnp.where(is_nl[:, None], lbuf_w, cs["plbuf"])
     lbuf = jnp.where(is_nl[:, None], jnp.uint32(0xFFFF), lbuf_w)
     plen = jnp.where(is_nl, cs["linepos"], cs["plen"])
+    vexp, valive = line_expected(cs)
+    lml = jnp.where(is_nl, jnp.uint32(0),
+                    jnp.where(valive & (b == vexp),
+                              cs["lml"] + 1, cs["lml"]))
     return {"ohash": new_ohash, "last4": last4, "last8": last8,
             "tag": tag, "tagacc": tagacc, "tagdepth": tagdepth,
             "word": word,
@@ -270,4 +294,4 @@ def update_ctx_state_batched(cs, bytes_b):
             "linepos": linepos,
             "brk_stack": stack, "brk_depth": depth,
             "bytecnt": cs["bytecnt"] + 1,
-            "lbuf": lbuf, "plbuf": plbuf, "plen": plen}
+            "lbuf": lbuf, "plbuf": plbuf, "plen": plen, "lml": lml}

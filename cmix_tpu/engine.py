@@ -53,7 +53,8 @@ import jax
 import jax.numpy as jnp
 
 from cmix_tpu.contexts.hashes import (
-    init_ctx_state, update_ctx_state_batched, mix32, PRIME2, bracket_ctx)
+    init_ctx_state, update_ctx_state_batched, mix32, PRIME2, bracket_ctx,
+    line_expected)
 from cmix_tpu.contexts.x86 import (
     init_x86_state, x86_update, x86_ctx_vals)
 from cmix_tpu.states.tables import (
@@ -118,7 +119,11 @@ SBANK_RATE = 0.02
 # as learned next-byte stats per bracket state)
 D12_BRK = 256 + 65536
 D12_ROWS = D12_BRK + 512
-N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1)
+# vertical match: predict the previous line's byte at this column with
+# learned per-prefix-length confidence (a match model whose cursor is
+# the line above -- record/table analog of src/models/match.cpp)
+VMATCH = int(os.environ.get("VMATCH", "0"))
+N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH)
 # bank + (d0+d1+d2+brk) + match x4 + lstm + ppm + state bank + dmc
 # PPM SEE buckets: escape probability learned per
 # (order, distinct-symbols bucket, log2-total bucket) -- the capability
@@ -249,6 +254,7 @@ def init_shared(cfg: EngineConfig):
             N_MATCH * (1 << cfg.mbits) + N_IND * (1 << cfg.ibits),
             dtype=jnp.uint32),
         "match_conf": jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32),
+        "vmatch_conf": jnp.full(32, 0.55, dtype=jnp.float32),
         # PPM symbol counts: one uint8 count per (order, context row, byte)
         "ppm": jnp.zeros((N_PPM, cfg.prows, 256), dtype=jnp.uint8),
         "ppm_see": jnp.asarray(_see_init()),
@@ -426,13 +432,7 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
     # PREVIOUS line (0xFFFF when past its end / width) -- the capability
     # class of fxcm's wiki column streams (src/models/fxcmv1.cpp:
     # 2007-2147) for any line-structured data
-    lane = jnp.arange(64, dtype=jnp.uint32)
-    cpos = jnp.minimum(cs["linepos"], jnp.uint32(63))
-    above_l = jnp.sum(
-        cs["plbuf"] * (lane[None, :] == cpos[:, None]), axis=1)
-    above_l = jnp.where(
-        (cs["linepos"] < 64) & (cs["linepos"] <= cs["plen"]),
-        above_l, jnp.uint32(0xFFFF))
+    above_l, v_alive = line_expected(cs)
     vals.append(mix32(above_l, jnp.minimum(cs["linepos"],
                                            jnp.uint32(255))))  # 46 above+col
     vals.append(mix32(above_l | (b1 << jnp.uint32(16)),
@@ -440,7 +440,7 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
     vals.extend(ind_val[:, j] for j in range(1, N_IND))      # 48+ indirect
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
-    return mix32(v, salt[None, :]), vals[24], above_l
+    return mix32(v, salt[None, :]), vals[24], above_l, v_alive
 
 
 def _record_ctx_vals(cfg, pb, t):
@@ -533,8 +533,8 @@ def _predict_tree_b(cfg, sh, pb, t):
     level = jnp.asarray(_LEVEL)
     rec_vals, rec_rl, rec_posr = _record_ctx_vals(cfg, pb, t)
     x86_vals, x86_gate = x86_ctx_vals(pb["x86"])
-    bases, brctx, above_l = _bank_bases_b(cs, pb["ind_val"], rec_vals,
-                                          x86_vals)
+    bases, brctx, above_l, v_alive = _bank_bases_b(
+        cs, pb["ind_val"], rec_vals, x86_vals)
     brctx = brctx.astype(jnp.int32)
     B = bases.shape[0]
 
@@ -654,9 +654,26 @@ def _predict_tree_b(cfg, sh, pb, t):
     else:
         st_dmc = jnp.zeros((B, 1, 256), jnp.float32)
 
+    if VMATCH:
+        # vertical match channel: expected byte from the line above,
+        # confidence learned per matched-prefix length
+        vlml = jnp.minimum(cs["lml"], jnp.uint32(31)).astype(jnp.int32)
+        vconf = sh["vmatch_conf"][vlml]                      # (B,)
+        vexp_i = jnp.where(v_alive, above_l,
+                           jnp.uint32(0)).astype(jnp.int32)  # (B,)
+        vpref = (1 << level)[None, :] + (vexp_i[:, None] >> (8 - level))
+        v_on = v_alive[:, None] & (node[None, :] == vpref)
+        v_bit = (vexp_i[:, None] >> (7 - level)[None, :]) & 1
+        vsign = jnp.where(v_bit == 1, 1.0, -1.0)
+        st_vmatch = jnp.where(v_on, vsign * _stretch_f(vconf)[:, None],
+                              0.0)[:, None, :]               # (B, 1, 256)
+        vm = [st_vmatch]
+    else:
+        vlml = vconf = vexp_i = None
+        vm = []
     x = jnp.concatenate(
         [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm,
-         st_sbank, st_dmc], axis=1)                          # (B, NIN, 256)
+         st_sbank, st_dmc] + vm, axis=1)                     # (B, NIN, 256)
 
     longest = (jnp.max(jnp.where(pb["match_len"] > 0, lenb, 0), axis=1) * 2
                + jnp.max(jnp.where(pb["match_len"] > 0,
@@ -757,7 +774,8 @@ def _predict_tree_b(cfg, sh, pb, t):
                w_level=w_level, p1=p1, st1=st1c, p_mix=p_mix,
                p2=p2, st2=st2, clsg=clsg,
                longest=longest, t1=t1, f1=f1, t2=t2, f2=f2, t3=t3, f3=f3,
-               st_in=st_in, p_tree=p_tree)
+               st_in=st_in, p_tree=p_tree,
+               vlml=vlml, vconf=vconf, vexp=vexp_i, valive=v_alive)
     return p_tree, aux
 
 
@@ -879,6 +897,15 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     sh["match_conf"] = jnp.clip(
         sh["match_conf"] + jnp.sum(oh_len * derr[:, :, None], axis=0),
         1e-3, 1 - 1e-3)
+    if VMATCH:
+        v_af = aux["valive"].astype(jnp.float32)             # (B,)
+        vhit = (aux["vexp"] == byte).astype(jnp.float32)
+        vderr = (vhit - aux["vconf"]) * 0.03 * v_af
+        voh = (jnp.arange(32)[None, :]
+               == aux["vlml"][:, None]).astype(jnp.float32)
+        sh["vmatch_conf"] = jnp.clip(
+            sh["vmatch_conf"] + jnp.sum(voh * vderr[:, None], axis=0),
+            1e-3, 1 - 1e-3)
 
     # ---- mixers
     err1 = (target[:, None, :] - aux["p1"]) * on_path[:, None, :]  # (B,8,256)

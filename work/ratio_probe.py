@@ -57,6 +57,12 @@ def main():
         tags.append(f"ind={eng.N_IND}")
     if eng.PPM_EXCL:
         tags.append("excl")
+    if eng.MIX_AUX:
+        tags.append("aux2")
+    if eng.MIX_DYN2:
+        tags.append("dyn2")
+    if eng.VMATCH:
+        tags.append("vm")
     print(" ".join(tags), end=" ")
     data = open(path, "rb").read()[:nb << 14]
     blocks = _split_blocks(data, cfg.block_size)
