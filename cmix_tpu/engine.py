@@ -123,7 +123,14 @@ D12_ROWS = D12_BRK + 512
 # learned per-prefix-length confidence (a match model whose cursor is
 # the line above -- record/table analog of src/models/match.cpp)
 VMATCH = int(os.environ.get("VMATCH", "0"))
-N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH)
+# strided LMS predictor: adaptive linear prediction of the next byte
+# from the bytes one..four records back (capability class of paq8's
+# linearPredictionModel / audioModel LPC, src/models/paq8.cpp:4476,
+# 5806-5869, generalized to the detected/forced record stride)
+LMS = int(os.environ.get("LMS", "0"))
+LMS_K = 4
+LMS_MU = 0.002
+N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH + LMS)
 # bank + (d0+d1+d2+brk) + match x4 + lstm + ppm + state bank + dmc
 # PPM SEE buckets: escape probability learned per
 # (order, distinct-symbols bucket, log2-total bucket) -- the capability
@@ -255,6 +262,7 @@ def init_shared(cfg: EngineConfig):
             dtype=jnp.uint32),
         "match_conf": jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32),
         "vmatch_conf": jnp.full(32, 0.55, dtype=jnp.float32),
+        "lms_conf": jnp.full(16, 0.55, dtype=jnp.float32),
         # PPM symbol counts: one uint8 count per (order, context row, byte)
         "ppm": jnp.zeros((N_PPM, cfg.prows, 256), dtype=jnp.uint8),
         "ppm_see": jnp.asarray(_see_init()),
@@ -315,6 +323,9 @@ def init_perblock(cfg: EngineConfig):
         # overrides the voted record length (paq8's imgModel routing,
         # paq8.cpp:5386-5804, done host-side here and threaded in)
         "rec_forced": jnp.zeros((), dtype=jnp.int32),
+        # strided LMS: taps + error EMA (active when LMS=1)
+        "lms_w": jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
+        "lms_err": jnp.zeros((), dtype=jnp.float32),
         "x86": init_x86_state(),
     }
     if cfg.lstm_hidden:
@@ -654,6 +665,31 @@ def _predict_tree_b(cfg, sh, pb, t):
     else:
         st_dmc = jnp.zeros((B, 1, 256), jnp.float32)
 
+    if LMS:
+        # strided LMS: taps over the bytes 1..4 records back
+        rlL = jnp.where(pb["rec_forced"] > 0, pb["rec_forced"],
+                        jnp.where(pb["rec_cnt"] >= 2, pb["rec_len"], 1))
+        n = cfg.block_size
+        ks = jnp.arange(1, LMS_K + 1)
+        xs = pb["hist"][jnp.arange(B)[:, None],
+                        jnp.mod(t - ks[None, :] * rlL[:, None], n)
+                        ].astype(jnp.float32)                # (B, K)
+        xs_f = (xs - 128.0) * (1.0 / 128.0)
+        predf = jnp.clip(jnp.sum(pb["lms_w"] * xs_f, axis=1), -1.0, 1.0)
+        pbyte = jnp.clip(jnp.round(predf * 128.0 + 128.0),
+                         0, 255).astype(jnp.int32)           # (B,)
+        errb = jnp.clip((pb["lms_err"] * 32.0), 0, 15).astype(jnp.int32)
+        lconf = sh["lms_conf"][errb]                         # (B,)
+        lpref = (1 << level)[None, :] + (pbyte[:, None] >> (8 - level))
+        l_on = node[None, :] == lpref
+        l_bit = (pbyte[:, None] >> (7 - level)[None, :]) & 1
+        lsign = jnp.where(l_bit == 1, 1.0, -1.0)
+        st_lms = jnp.where(l_on, lsign * _stretch_f(lconf)[:, None],
+                           0.0)[:, None, :]                  # (B, 1, 256)
+        lm = [st_lms]
+    else:
+        xs_f = predf = pbyte = errb = lconf = None
+        lm = []
     if VMATCH:
         # vertical match channel: expected byte from the line above,
         # confidence learned per matched-prefix length
@@ -673,7 +709,7 @@ def _predict_tree_b(cfg, sh, pb, t):
         vm = []
     x = jnp.concatenate(
         [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm,
-         st_sbank, st_dmc] + vm, axis=1)                     # (B, NIN, 256)
+         st_sbank, st_dmc] + lm + vm, axis=1)                # (B, NIN, 256)
 
     longest = (jnp.max(jnp.where(pb["match_len"] > 0, lenb, 0), axis=1) * 2
                + jnp.max(jnp.where(pb["match_len"] > 0,
@@ -775,7 +811,9 @@ def _predict_tree_b(cfg, sh, pb, t):
                p2=p2, st2=st2, clsg=clsg,
                longest=longest, t1=t1, f1=f1, t2=t2, f2=f2, t3=t3, f3=f3,
                st_in=st_in, p_tree=p_tree,
-               vlml=vlml, vconf=vconf, vexp=vexp_i, valive=v_alive)
+               vlml=vlml, vconf=vconf, vexp=vexp_i, valive=v_alive,
+               lms_xs=xs_f, lms_pred=predf, lms_pbyte=pbyte,
+               lms_errb=errb, lms_conf=lconf)
     return p_tree, aux
 
 
@@ -905,6 +943,14 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
                == aux["vlml"][:, None]).astype(jnp.float32)
         sh["vmatch_conf"] = jnp.clip(
             sh["vmatch_conf"] + jnp.sum(voh * vderr[:, None], axis=0),
+            1e-3, 1 - 1e-3)
+    if LMS:
+        lhit = (aux["lms_pbyte"] == byte).astype(jnp.float32)
+        lderr = (lhit - aux["lms_conf"]) * 0.02
+        loh = (jnp.arange(16)[None, :]
+               == aux["lms_errb"][:, None]).astype(jnp.float32)
+        sh["lms_conf"] = jnp.clip(
+            sh["lms_conf"] + jnp.sum(loh * lderr[:, None], axis=0),
             1e-3, 1 - 1e-3)
 
     # ---- mixers
@@ -1053,6 +1099,13 @@ def make_byte_step(cfg: EngineConfig):
         byte = byte_acc & 255                                # (B,)
 
         sh = _update_tree_b(cfg, sh, pb, aux, byte, t)
+        if LMS:
+            yf = (byte.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+            lerr = yf - aux["lms_pred"]                      # (B,)
+            pb["lms_w"] = pb["lms_w"] + LMS_MU * lerr[:, None] \
+                * aux["lms_xs"]
+            pb["lms_err"] = 0.98 * pb["lms_err"] \
+                + 0.02 * jnp.abs(lerr)
 
         pb["hist"] = jax.lax.dynamic_update_slice(
             pb["hist"], byte.astype(jnp.uint8)[:, None],
