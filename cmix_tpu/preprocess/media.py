@@ -135,11 +135,66 @@ def _parse_wav(data, i):
     return None
 
 
+def _parse_jpeg(data, i):
+    """Baseline/progressive JPEG at offset i -> MediaSpan over the whole
+    SOI..EOI stream (cf. the reference's JPEG detector scanning
+    SOI/SOF/SOS markers, src/preprocess/preprocessor.cpp:112-124).
+
+    The span is pass-through (no pixel transform): its purpose is (a) to
+    keep the entropy-coded scan out of the text/EXE detectors and the WRT
+    transform, and (b) to flag the region for JPEG-aware model routing.
+    Walks the marker structure strictly; returns None on any violation so
+    random FFD8 bytes in binary data do not produce false spans."""
+    n = len(data)
+    if i + 4 > n or data[i:i + 2] != b"\xFF\xD8" or data[i + 2] != 0xFF:
+        return None
+    j = i + 2
+    saw_sof = saw_sos = False
+    while j + 4 <= n:
+        if data[j] != 0xFF:
+            return None
+        m = data[j + 1]
+        if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+            j += 2
+            continue
+        if m == 0xD9:                         # EOI before SOS: header only
+            return None
+        (seglen,) = struct.unpack_from(">H", data, j + 2)
+        if seglen < 2 or j + 2 + seglen > n:
+            return None
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            saw_sof = True
+        body_end = j + 2 + seglen
+        if m == 0xDA:                         # SOS: walk the coded scan
+            if not saw_sof:
+                return None
+            saw_sos = True
+            k = body_end
+            while k + 1 < n:
+                if data[k] != 0xFF:
+                    k += 1
+                elif data[k + 1] == 0x00 or 0xD0 <= data[k + 1] <= 0xD7:
+                    k += 2                    # stuffed FF / restart marker
+                elif data[k + 1] == 0xD9:     # EOI
+                    if k + 2 - i < 1024:
+                        return None
+                    return MediaSpan("jpeg", i, k + 2 - i, 0, 0)
+                else:
+                    break                     # next marker (e.g. next scan)
+            if k + 1 >= n:
+                return None
+            j = k
+            continue
+        j = body_end
+    return None
+
+
 _MAGIC_PARSERS = (
     (b"BM", _parse_bmp),
     (b"P5", _parse_pnm),
     (b"P6", _parse_pnm),
     (b"RIFF", _parse_wav),
+    (b"\xFF\xD8\xFF", _parse_jpeg),
 )
 
 

@@ -280,6 +280,10 @@ SEG_RAW, SEG_TEXT, SEG_EXE = 0, 1, 2
 # media segments (preprocess/media.py): entries carry a 4th field, the
 # row/frame stride in bytes, threaded to the engine's record-grid contexts
 SEG_IMG24, SEG_IMG8, SEG_AUDIO = 3, 4, 5
+# JPEG spans pass through untouched (the scan is already entropy-coded);
+# the segment type keeps them out of the text/EXE detectors and marks
+# them for JPEG-aware routing (cf. preprocessor.cpp:112-124 detection)
+SEG_JPEG = 6
 _MEDIA_SEGS = (SEG_IMG24, SEG_IMG8, SEG_AUDIO)
 _DETECT_CHUNK = 1 << 16
 
@@ -330,7 +334,7 @@ def transform(data: bytes, dictionary=None):
         if sp.data_off > pos:
             _detect_region(pos, sp.data_off, segs)
         kind = {"img24": SEG_IMG24, "img8": SEG_IMG8,
-                "audio": SEG_AUDIO}[sp.kind]
+                "audio": SEG_AUDIO, "jpeg": SEG_JPEG}[sp.kind]
         segs.append((kind, sp.data_off, sp.data_off + sp.data_len,
                      sp.stride))
         pos = sp.data_off + sp.data_len
@@ -360,6 +364,10 @@ def transform(data: bytes, dictionary=None):
         if typ in (SEG_IMG8, SEG_AUDIO):     # pass-through + stride hint
             payload += raw
             meta.append((typ, len(raw), len(raw), stride))
+            continue
+        if typ == SEG_JPEG:                  # pass-through, no stride
+            payload += raw
+            meta.append((SEG_JPEG, len(raw), len(raw)))
             continue
         payload += raw
         meta.append((SEG_RAW, len(raw), len(raw)))

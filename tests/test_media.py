@@ -109,3 +109,60 @@ def test_compress_roundtrip_bmp():
     arch = compress(data, cfg)
     assert decompress(arch) == data
     assert len(arch) < len(data)               # gradient image compresses
+
+
+def _jpeg(nscan, rng, progressive=False):
+    """Synthetic but structurally valid JPEG: SOI, DQT, SOF0, DHT, SOS,
+    entropy bytes (FF stuffed / RST markers), EOI."""
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xFF\xD8"                          # SOI
+    out += seg(0xDB, bytes([0]) + bytes(range(64)))             # DQT
+    out += seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 1)
+               + bytes([1, 0x11, 0]))                           # SOF0
+    out += seg(0xC4, bytes([0x00]) + bytes([1] * 16) + b"\x03") # DHT
+    scans = 2 if progressive else 1
+    for s in range(scans):
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))         # SOS
+        raw = rng.integers(0, 255, nscan, dtype=np.uint8).tobytes()
+        # stuff FF bytes like a real encoder, sprinkle a restart marker
+        body = raw.replace(b"\xFF", b"\xFF\x00")
+        out += body + (b"\xFF\xD0" if s + 1 < scans else b"")
+    return out + b"\xFF\xD9"                   # EOI
+
+
+def test_detect_jpeg():
+    rng = np.random.default_rng(5)
+    jp = _jpeg(4000, rng)
+    data = b"some text before " * 20 + jp + b" and after" * 20
+    spans = find_media_spans(data)
+    assert [s.kind for s in spans] == ["jpeg"]
+    sp = spans[0]
+    assert data[sp.data_off:sp.data_off + 2] == b"\xFF\xD8"
+    assert data[sp.data_off:sp.data_off + sp.data_len] == jp
+
+
+def test_detect_jpeg_multiscan_and_rejects():
+    rng = np.random.default_rng(6)
+    jp = _jpeg(2000, rng, progressive=True)
+    spans = find_media_spans(jp)
+    assert len(spans) == 1 and spans[0].data_len == len(jp)
+    # bare FFD8FF in random binary data must NOT produce a span
+    junk = b"\xFF\xD8\xFF\xEE" + bytes(rng.integers(0, 255, 3000,
+                                                    dtype=np.uint8))
+    assert all(s.kind != "jpeg" for s in find_media_spans(junk))
+
+
+def test_transform_jpeg_passthrough():
+    from cmix_tpu.preprocess.wrt import SEG_JPEG
+    rng = np.random.default_rng(7)
+    jp = _jpeg(3000, rng)
+    data = b"hello world " * 100 + jp + b"tail" * 25
+    payload, meta = transform(data, None)
+    assert len(payload) == len(data)
+    types = [e[0] for e in meta]
+    assert SEG_JPEG in types
+    ent = [e for e in meta if e[0] == SEG_JPEG][0]
+    assert len(ent) == 3 and ent[1] == ent[2] == len(jp)
+    assert untransform(payload, meta, None) == data
