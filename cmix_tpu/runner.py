@@ -29,6 +29,7 @@ batch (padding with dummy lanes).
 """
 
 import argparse
+import os
 import struct
 import time
 
@@ -133,14 +134,61 @@ def _pretrained_base(cfg, dict_bytes):
     return cached_pretrained_state(cfg, dict_bytes.replace(b"\n", b" "))
 
 
+def _resume_key(payload, cfg, eb, flags):
+    import hashlib
+    h = hashlib.sha256()
+    h.update(repr((FORMAT_VERSION, cfg, eb, flags)).encode())
+    h.update(payload)
+    return h.digest()[:16]
+
+
+def _resume_load(path, key):
+    """Completed per-block streams from an interrupted run, or []."""
+    try:
+        with open(path, "rb") as f:
+            blob = f.read()
+    except OSError:
+        return []
+    if blob[:4] != b"TCMR" or blob[4:20] != key:
+        return []
+    streams, off = [], 20
+    while off + 5 <= len(blob):
+        raw, L = blob[off] != 0, struct.unpack_from("<I", blob, off + 1)[0]
+        if off + 5 + L > len(blob):
+            break                            # torn tail write: drop it
+        streams.append((raw, blob[off + 5:off + 5 + L]))
+        off += 5 + L
+    return streams
+
+
+def _resume_save(path, key, streams):
+    """Atomic rewrite of the resume journal (tmp + rename)."""
+    parts = [b"TCMR", key]
+    for raw, s in streams:
+        parts.append(struct.pack("<BI", 1 if raw else 0, len(s)))
+        parts.append(s)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"".join(parts))
+    os.replace(tmp, path)
+
+
 def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
              max_batch: int = 64, dictionary: str = None,
-             meter=None, show_progress=False) -> bytes:
+             meter=None, show_progress=False, resume_path=None) -> bytes:
     """Compress ``data`` into a TCMX archive.
 
     dictionary: path to a word list; enables the WRT text transform (when
     it shrinks the payload) and model pretraining, like the reference's
     ``cmix -c [dictionary]`` mode.
+
+    resume_path: journal file for failure recovery (greenfield vs the
+    reference's all-or-nothing jobs, SURVEY.md §5): each completed coding
+    group's streams are appended; a restarted run with the same input and
+    config skips finished groups.  The journal is keyed by a hash of
+    (format, config, exec batch, payload) so a stale file is ignored, and
+    groups are whole-or-absent (atomic rewrite), preserving the
+    bit-exactness contract of the group coding order.
     """
     flags = 0
     d, dict_bytes, fp = _load_dictionary(dictionary)
@@ -177,9 +225,20 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         prog = lambda d: ticker.update(done_base[0]
                                        + int(d * group_frac[0]))
     streams = []
+    rkey = None
+    if resume_path is not None:
+        rkey = _resume_key(payload, cfg, eb, flags)
+        streams = _resume_load(resume_path, rkey)
+        streams = streams[:nb]
+        if len(streams) < nb:                # keep whole groups only
+            streams = streams[:(len(streams) // eb) * eb]
     for lo in range(0, nb, eb):
         batch = blocks[lo:lo + eb]
         b = batch.shape[0]
+        if lo + b <= len(streams):           # group finished in a prior run
+            if show_progress:
+                done_base[0] += b * n
+            continue
         if b < eb:                           # pad group to the exec batch
             batch = np.concatenate(
                 [batch, np.zeros((eb - b, n), dtype=np.uint8)], axis=0)
@@ -207,6 +266,8 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
                 streams.append((True, real))
             else:
                 streams.append((False, bytes(out[i, :L].tobytes())))
+        if resume_path is not None:
+            _resume_save(resume_path, rkey, streams)
 
     header = MAGIC + struct.pack(
         _HDR, FORMAT_VERSION, flags, cfg.block_size.bit_length() - 1,
@@ -226,11 +287,17 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     lens = b"".join(
         struct.pack("<I", (len(s) | (_RAW_FLAG if raw else 0)))
         for raw, s in streams)
+    if resume_path is not None:              # archive complete: journal done
+        try:
+            os.remove(resume_path)
+        except OSError:
+            pass
     return header + segtbl + lens + b"".join(s for _, s in streams)
 
 
 def decompress(archive: bytes, max_batch: int = 64,
-               dictionary: str = None) -> bytes:
+               dictionary: str = None, meter=None,
+               show_progress=False) -> bytes:
     assert archive[:4] == MAGIC, "bad magic"
     (ver, flags, log_bs, tbits, mbits, ibits, pbits, dmc_log, lstm_layers,
      lstm_horizon, lstm_hidden, eb, orig_len, payload_len, nb, fp,
@@ -283,6 +350,12 @@ def decompress(archive: bytes, max_batch: int = 64,
         from cmix_tpu.preprocess.wrt import block_strides
         forced_rl = block_strides(seg_meta, nb, n)
     out_parts = [None] * nb
+    prog = None
+    if show_progress:
+        from cmix_tpu.utils.profiling import Progress
+        ticker = Progress(nb * n, "progress")
+        done_base = [0]
+        prog = lambda d: ticker.update(done_base[0] + d)
     # decode groups mirror encode groups exactly: raw-stored blocks are
     # re-fed through encode-mode lanes so shared model state matches.
     for lo in range(0, nb, eb):
@@ -303,7 +376,9 @@ def decompress(archive: bytes, max_batch: int = 64,
             fr[:len(group)] = forced_rl[lo:lo + len(group)]
             pb["rec_forced"] = jnp.asarray(fr)
         hist, _, _ = trans(sh, pb, jnp.asarray(inp), jnp.asarray(comp),
-                           jnp.asarray(modes))
+                           jnp.asarray(modes), meter=meter, progress=prog)
+        if show_progress:
+            done_base[0] += len(group) * n
         hist = np.asarray(hist)
         for j, (raw, s) in enumerate(group):
             out_parts[lo + j] = s if raw else bytes(hist[j].tobytes())
@@ -339,6 +414,9 @@ def main(argv=None):
                     help="write a jax.profiler device trace to DIR")
     ap.add_argument("--stats", action="store_true",
                     help="print a JSON phase/throughput report to stderr")
+    ap.add_argument("--resume", default=None, metavar="JOURNAL",
+                    help="failure-recovery journal: completed coding "
+                    "groups are saved there and skipped on restart")
     args = ap.parse_args(argv)
 
     from cmix_tpu.utils.profiling import Meter, trace
@@ -352,7 +430,7 @@ def main(argv=None):
         with trace(args.profile):
             out = compress(data, cfg, max_batch=args.max_batch,
                            dictionary=args.dictionary, meter=meter,
-                           show_progress=True)
+                           show_progress=True, resume_path=args.resume)
         if meter:
             meter.out_bytes = len(out)
             meter.bytes = len(data)
@@ -368,8 +446,14 @@ def main(argv=None):
         print(f"{len(data)} bytes -> {len(out)} bytes in {dt:.2f} s")
         print(f"cross entropy: {bpb:.4f}")
     else:
-        out = decompress(data, max_batch=args.max_batch,
-                         dictionary=args.dictionary)
+        with trace(args.profile):
+            out = decompress(data, max_batch=args.max_batch,
+                             dictionary=args.dictionary, meter=meter,
+                             show_progress=True)
+        if meter:
+            meter.out_bytes = len(data)
+            meter.bytes = len(out)
+            meter.print_report(mode="decompress")
         with open(args.output, "wb") as f:
             f.write(out)
         print(f"{len(data)} bytes -> {len(out)} bytes in "

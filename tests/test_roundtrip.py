@@ -90,3 +90,45 @@ def test_dictionary_mode_roundtrip():
         assert len(arch) < len(plain)       # WRT + pretraining must help
     finally:
         os.unlink(dic)
+
+
+def test_resume_journal(tmp_path):
+    """Failure recovery: a run interrupted between coding groups restarts
+    from the journal and produces the identical archive."""
+    rng = np.random.default_rng(9)
+    words = [b"alpha", b"beta", b"gamma", b"delta "]
+    data = b" ".join(words[i] for i in rng.integers(0, 4, 4000)) 
+    jp = str(tmp_path / "job.tcmr")
+
+    full = compress(data, CFG, max_batch=2)          # 5 blocks, 3 groups
+    # run 1: crash after the first group (monkeypatch the saver to raise)
+    import cmix_tpu.runner as R
+    real_save = R._resume_save
+    calls = [0]
+
+    def crashing_save(path, key, streams):
+        real_save(path, key, streams)
+        calls[0] += 1
+        if calls[0] == 1:
+            raise KeyboardInterrupt
+
+    R._resume_save = crashing_save
+    try:
+        compress(data, CFG, max_batch=2, resume_path=jp)
+        assert False, "expected simulated crash"
+    except KeyboardInterrupt:
+        pass
+    finally:
+        R._resume_save = real_save
+    assert os.path.exists(jp)
+
+    resumed = compress(data, CFG, max_batch=2, resume_path=jp)
+    assert resumed == full
+    assert not os.path.exists(jp)                    # journal cleaned up
+    assert decompress(resumed) == data
+
+    # stale journal (different input) is ignored, not misused
+    other = data[:-100] + b"zzz"
+    R._resume_save(jp, R._resume_key(data, CFG, 2, 0), [(False, b"junk")])
+    arch2 = compress(other, CFG, max_batch=2, resume_path=jp)
+    assert decompress(arch2) == other
