@@ -145,9 +145,18 @@ SEE_RATE = 0.02
 # 2nd-last byte, wordlen+coarse class, xml tag) toward the reference's
 # 26-mixer layer 0 (src/predictor.cpp:184-328)
 MIX_DYN2 = int(os.environ.get("MIX_DYN2", "0"))
+# MIX_KIND appends a content-kind gate: the block's detected segment
+# type (raw/text/exe/img24/img8/audio/jpeg, from the archive's segment
+# table) crossed with the top class-register bits selects one of 8x8
+# weight rows -- filetype-routed mixing, the capability class of paq8's
+# contextModel2 filetype-gated mixer selectors (src/models/paq8.cpp:
+# 8101-8206), driven by the host-side detector instead of in-model
+# re-detection.
+MIX_KIND = int(os.environ.get("MIX_KIND", "0"))
 _MIX1_ROWS = np.array(
     [1, 8, 256, 1024, 64, 256, 256, 64, 512, 128, 64]
-    + ([257, 256, 64, 256] if MIX_DYN2 else []), dtype=np.int64)
+    + ([257, 256, 64, 256] if MIX_DYN2 else [])
+    + ([64] if MIX_KIND else []), dtype=np.int64)
 N_MIX1 = len(_MIX1_ROWS)
 _MIX1_OFF = np.concatenate([[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
 _MIX1_TOTAL = int(_MIX1_ROWS.sum())
@@ -323,6 +332,10 @@ def init_perblock(cfg: EngineConfig):
         # overrides the voted record length (paq8's imgModel routing,
         # paq8.cpp:5386-5804, done host-side here and threaded in)
         "rec_forced": jnp.zeros((), dtype=jnp.int32),
+        # dominant detected content kind of the block (SEG_* of
+        # preprocess/wrt.py, from the archive's segment table; 0 when
+        # no segmentation ran) -- gates MIX_KIND mixer rows
+        "blk_kind": jnp.zeros((), dtype=jnp.int32),
         # strided LMS: taps + error EMA (active when LMS=1)
         "lms_w": jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
         "lms_err": jnp.zeros((), dtype=jnp.float32),
@@ -734,7 +747,10 @@ def _predict_tree_b(cfg, sh, pb, t):
         (jnp.minimum(cs["wordlen"], jnp.uint32(15)) * 4
          + (cs["cls2reg"] & jnp.uint32(3))).astype(jnp.int32),
         (cs["tag"] & jnp.uint32(0xFF)).astype(jnp.int32),
-    ] if MIX_DYN2 else []), axis=1) \
+    ] if MIX_DYN2 else []) + ([
+        jnp.clip(pb["blk_kind"], 0, 7) * 8
+        + (cs["cls2reg"] & jnp.uint32(7)).astype(jnp.int32),
+    ] if MIX_KIND else []), axis=1) \
         + jnp.asarray(_MIX1_OFF[2:])[None, :]                # (B, ND)
     w_dyn = sh["w1"][dyn_idx]                                # (B, 6, NIN)
     w_const = sh["w1"][0]                                    # (NIN,)

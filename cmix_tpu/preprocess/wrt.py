@@ -403,6 +403,28 @@ def block_strides(meta, n_blocks, block_size):
     return forced
 
 
+def block_kinds(meta, n_blocks, block_size):
+    """Per-block dominant content kind (SEG_* id with the most coverage).
+
+    Derived purely from the archive's segment table so encode and decode
+    agree -- the kind gates mixer weight rows (engine MIX_KIND) and is
+    therefore part of the format, like block_strides."""
+    import numpy as np
+    cover = np.zeros((n_blocks, 8), dtype=np.int64)
+    off = 0
+    for entry in meta:
+        typ, enc_len = entry[0], entry[1]
+        if enc_len and 0 <= typ < 8:
+            b0 = off // block_size
+            b1 = min((off + enc_len - 1) // block_size, n_blocks - 1)
+            for b in range(b0, b1 + 1):
+                lo = max(off, b * block_size)
+                hi = min(off + enc_len, (b + 1) * block_size)
+                cover[b, typ] += hi - lo
+        off += enc_len
+    return np.argmax(cover, axis=1).astype(np.int32)
+
+
 def untransform(payload: bytes, meta, dictionary=None) -> bytes:
     out = bytearray()
     off = 0

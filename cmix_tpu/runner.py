@@ -211,10 +211,11 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     vocab = _vocab_bitmap(payload)
     vforce = jnp.asarray(_vocab_force(vocab))
 
-    forced_rl = None
+    forced_rl = blk_kind = None
     if seg_meta is not None:
-        from cmix_tpu.preprocess.wrt import block_strides
+        from cmix_tpu.preprocess.wrt import block_strides, block_kinds
         forced_rl = block_strides(seg_meta, nb, n)
+        blk_kind = block_kinds(seg_meta, nb, n)
 
     prog = None
     if show_progress:
@@ -250,6 +251,10 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
             fr = np.zeros(eb, dtype=np.int32)
             fr[:b] = forced_rl[lo:lo + b]
             pb["rec_forced"] = jnp.asarray(fr)
+        if blk_kind is not None:
+            bk = np.zeros(eb, dtype=np.int32)
+            bk[:b] = blk_kind[lo:lo + b]
+            pb["blk_kind"] = jnp.asarray(bk)
         comp0 = jnp.zeros((eb, cfg.comp_size), dtype=jnp.uint8)
         _, out, out_len = trans(sh, pb, jnp.asarray(batch), comp0,
                                 jnp.int32(MODE_ENCODE), meter=meter,
@@ -345,10 +350,11 @@ def decompress(archive: bytes, max_batch: int = 64,
 
     trans = get_transcoder(cfg)
     n = cfg.block_size
-    forced_rl = None
+    forced_rl = blk_kind = None
     if seg_meta is not None:
-        from cmix_tpu.preprocess.wrt import block_strides
+        from cmix_tpu.preprocess.wrt import block_strides, block_kinds
         forced_rl = block_strides(seg_meta, nb, n)
+        blk_kind = block_kinds(seg_meta, nb, n)
     out_parts = [None] * nb
     prog = None
     if show_progress:
@@ -375,6 +381,10 @@ def decompress(archive: bytes, max_batch: int = 64,
             fr = np.zeros(eb, dtype=np.int32)
             fr[:len(group)] = forced_rl[lo:lo + len(group)]
             pb["rec_forced"] = jnp.asarray(fr)
+        if blk_kind is not None:
+            bk = np.zeros(eb, dtype=np.int32)
+            bk[:len(group)] = blk_kind[lo:lo + len(group)]
+            pb["blk_kind"] = jnp.asarray(bk)
         hist, _, _ = trans(sh, pb, jnp.asarray(inp), jnp.asarray(comp),
                            jnp.asarray(modes), meter=meter, progress=prog)
         if show_progress:
