@@ -130,7 +130,20 @@ VMATCH = int(os.environ.get("VMATCH", "0"))
 LMS = int(os.environ.get("LMS", "0"))
 LMS_K = 4
 LMS_MU = 0.002
-N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH + LMS)
+# Multi-channel bank outputs: the reference's ContextMap-class models
+# emit SEVERAL mixer inputs per context (stretch, confidence-weighted
+# stretch, maturity), not one (src/models/paq8.cpp ContextMap::mix
+# emits ~5 per context; src/mixer/mixer-input.h).  BANK_CH widens each
+# of the N_BANK hashed-context models from 1 to up to 3 channels:
+#   ch1 st (existing), ch2 st*conf with conf=cnt/(cnt+2) (mature rows
+#   speak louder), ch3 2*conf-1 (maturity itself, direction-free --
+#   lets the mixer gate models by how much data their row has seen).
+# Channels 2+ are APPENDED after all existing inputs so input indices
+# stay stable across gate settings.
+BANK_CH = int(os.environ.get("BANK_CH", "1"))
+DMC_IDX = N_BANK + 4 + N_MATCH + 2 + N_SBANK   # dmc channel position in x
+N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH + LMS
+            + (BANK_CH - 1) * N_BANK)
 # bank + (d0+d1+d2+brk) + match x4 + lstm + ppm + state bank + dmc
 # PPM SEE buckets: escape probability learned per
 # (order, distinct-symbols bucket, log2-total bucket) -- the capability
@@ -723,6 +736,16 @@ def _predict_tree_b(cfg, sh, pb, t):
     x = jnp.concatenate(
         [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm,
          st_sbank, st_dmc] + lm + vm, axis=1)                # (B, NIN, 256)
+    if BANK_CH > 1:
+        # extra per-bank-model channels (see the BANK_CH note above);
+        # the slot count is already in the gathered rows -- the widened
+        # input only costs elementwise math plus a wider mixer matmul
+        cntf = (rows & jnp.uint32(0x3F)).astype(jnp.float32)
+        bconf = cntf / (cntf + 2.0)                          # (B, NM, 256)
+        extra = [st_bank * bconf]
+        if BANK_CH > 2:
+            extra.append(2.0 * bconf - 1.0)
+        x = jnp.concatenate([x] + extra, axis=1)
 
     longest = (jnp.max(jnp.where(pb["match_len"] > 0, lenb, 0), axis=1) * 2
                + jnp.max(jnp.where(pb["match_len"] > 0,
@@ -771,8 +794,7 @@ def _predict_tree_b(cfg, sh, pb, t):
         # layer-2 mixers alongside the layer-1 outputs (the reference's
         # auxiliary channel, src/predictor.cpp:72-75,388-406)
         aux_ch = jnp.asarray(
-            [N_BANK + 4 + N_MATCH, N_BANK + 4 + N_MATCH + 1,
-             N_INPUTS - 1])
+            [N_BANK + 4 + N_MATCH, N_BANK + 4 + N_MATCH + 1, DMC_IDX])
         st1c = jnp.concatenate([st1, x[:, aux_ch, :]], axis=1)
     else:
         st1c = st1
