@@ -284,6 +284,12 @@ SEG_IMG24, SEG_IMG8, SEG_AUDIO = 3, 4, 5
 # the segment type keeps them out of the text/EXE detectors and marks
 # them for JPEG-aware routing (cf. preprocessor.cpp:112-124 detection)
 SEG_JPEG = 6
+# JPEG recoded to a DCT-coefficient stream (preprocess/jpeg.py): the
+# scan's Huffman bits are host-decoded into a modelable byte stream with
+# an exact inverse; spans that fail the recoder's self-check stay
+# SEG_JPEG pass-through.  The segment type is recorded in the archive's
+# segment table, so decode needs no gate.
+SEG_JPEGC = 7
 _MEDIA_SEGS = (SEG_IMG24, SEG_IMG8, SEG_AUDIO)
 _DETECT_CHUNK = 1 << 16
 
@@ -365,8 +371,15 @@ def transform(data: bytes, dictionary=None):
             payload += raw
             meta.append((typ, len(raw), len(raw), stride))
             continue
-        if typ == SEG_JPEG:                  # pass-through, no stride
-            payload += raw
+        if typ == SEG_JPEG:
+            if os.environ.get("CMIX_JPEGC", "1") != "0":
+                from cmix_tpu.preprocess.jpeg import jpeg_recode
+                enc = jpeg_recode(raw)       # None unless exact inverse
+                if enc is not None:
+                    payload += enc
+                    meta.append((SEG_JPEGC, len(enc), len(raw)))
+                    continue
+            payload += raw                   # pass-through, no stride
             meta.append((SEG_JPEG, len(raw), len(raw)))
             continue
         payload += raw
@@ -440,6 +453,9 @@ def untransform(payload: bytes, meta, dictionary=None) -> bytes:
         elif typ == SEG_IMG24:
             from cmix_tpu.preprocess.media import img24_decode
             out += img24_decode(seg, entry[3])
+        elif typ == SEG_JPEGC:
+            from cmix_tpu.preprocess.jpeg import jpeg_unrecode
+            out += jpeg_unrecode(seg)
         else:
             out += seg
     return bytes(out)
