@@ -89,6 +89,7 @@ for _q, _i in ((34, 5), (39, 6), (96, 7)):
 BR_OPEN, BR_CLOSE = _BR_OPEN, _BR_CLOSE
 BRK_DEPTH = 16          # bracket stack depth (older entries drop off)
 LINE_W = 64             # line-grid buffer width (columns tracked)
+CELL_W = 32             # table-cell buffer width (cells tracked per line)
 
 
 # Coarse 2-bit byte classes for the long class register (the fxcm
@@ -137,6 +138,18 @@ def init_ctx_state():
         "lbuf": jnp.zeros(LINE_W, dtype=jnp.uint32),
         "plbuf": jnp.full(LINE_W, 0xFFFF, dtype=jnp.uint32),
         "plen": jnp.zeros((), dtype=jnp.uint32),
+        # wiki/table cell streams (capability: fxcm's wiki table/column
+        # streams, src/models/fxcmv1.cpp:2007-2147, generalized to any
+        # '|'/TAB-delimited rows): cell index in the line, bytes since
+        # the cell opened, first byte of each cell in this/previous line
+        # (the column stream), and list/indent structure at line start
+        "cellidx": jnp.zeros((), dtype=jnp.uint32),
+        "cellpos": jnp.zeros((), dtype=jnp.uint32),
+        "cellbuf": jnp.full(CELL_W, 0xFFFF, dtype=jnp.uint32),
+        "pcellbuf": jnp.full(CELL_W, 0xFFFF, dtype=jnp.uint32),
+        "listdepth": jnp.zeros((), dtype=jnp.uint32),
+        "listchar": jnp.zeros((), dtype=jnp.uint32),
+        "lsflag": jnp.ones((), dtype=jnp.uint32),
         # length of the current line's prefix that matches the previous
         # line (vertical match model state; stops growing at the first
         # mismatch, resets on newline)
@@ -285,6 +298,38 @@ def update_ctx_state_batched(cs, bytes_b):
     lml = jnp.where(is_nl, jnp.uint32(0),
                     jnp.where(valive & (b == vexp),
                               cs["lml"] + 1, cs["lml"]))
+    # wiki/table cell machine: '|' or TAB advances the cell index; the
+    # first byte of each cell is latched into cellbuf[cellidx]; newline
+    # rolls cellbuf into pcellbuf (the previous row's column stream).
+    # Line-start runs of ':*#;' accumulate a list depth, leading spaces
+    # likewise (indent via listchar=' ').
+    is_sep = (b == jnp.uint32(124)) | (b == jnp.uint32(9))
+    cellidx = jnp.where(
+        is_nl, jnp.uint32(0),
+        jnp.where(is_sep,
+                  jnp.minimum(cs["cellidx"] + 1, jnp.uint32(CELL_W - 1)),
+                  cs["cellidx"]))
+    cellpos = jnp.where(is_nl | is_sep, jnp.uint32(0),
+                        jnp.minimum(cs["cellpos"] + 1, jnp.uint32(63)))
+    clane = jnp.arange(CELL_W, dtype=jnp.uint32)
+    first_of_cell = (cs["cellpos"] == 0) & (~is_nl) & (~is_sep)
+    cw = (clane[None, :] == cs["cellidx"][:, None]) \
+        & first_of_cell[:, None]
+    cellbuf_w = jnp.where(cw, b[:, None], cs["cellbuf"])
+    pcellbuf = jnp.where(is_nl[:, None], cellbuf_w, cs["pcellbuf"])
+    cellbuf = jnp.where(is_nl[:, None], jnp.uint32(0xFFFF), cellbuf_w)
+    is_listc = ((b == jnp.uint32(58)) | (b == jnp.uint32(42))
+                | (b == jnp.uint32(35)) | (b == jnp.uint32(59))
+                | (b == jnp.uint32(32)))
+    lsflag = jnp.where(is_nl, jnp.uint32(1),
+                       cs["lsflag"] & is_listc.astype(jnp.uint32))
+    grow = (cs["lsflag"] == 1) & is_listc & (~is_nl)
+    listdepth = jnp.where(
+        is_nl, jnp.uint32(0),
+        jnp.where(grow, jnp.minimum(cs["listdepth"] + 1, jnp.uint32(15)),
+                  cs["listdepth"]))
+    listchar = jnp.where(is_nl, jnp.uint32(0),
+                         jnp.where(grow, b, cs["listchar"]))
     return {"ohash": new_ohash, "last4": last4, "last8": last8,
             "tag": tag, "tagacc": tagacc, "tagdepth": tagdepth,
             "word": word,
@@ -294,4 +339,7 @@ def update_ctx_state_batched(cs, bytes_b):
             "linepos": linepos,
             "brk_stack": stack, "brk_depth": depth,
             "bytecnt": cs["bytecnt"] + 1,
-            "lbuf": lbuf, "plbuf": plbuf, "plen": plen, "lml": lml}
+            "lbuf": lbuf, "plbuf": plbuf, "plen": plen, "lml": lml,
+            "cellidx": cellidx, "cellpos": cellpos, "cellbuf": cellbuf,
+            "pcellbuf": pcellbuf, "listdepth": listdepth,
+            "listchar": listchar, "lsflag": lsflag}

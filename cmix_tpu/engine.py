@@ -76,7 +76,11 @@ U8 = jnp.uint32(8)
 # becomes itself a context.  Keys: order-2 bytes, order-1 byte, order-3
 # hash, current word hash.
 N_IND = int(os.environ.get("CMIX_N_IND", "4"))
-N_BANK = 47 + N_IND  # 25 ctx-hash + 4 record + 7 text + 4 x86
+# Wiki/table stream contexts (fxcm's wiki table/column streams,
+# src/models/fxcmv1.cpp:2007-2147): previous-row column stream, cell
+# position, list/indent structure, column-crossed word.  Gated.
+WIKI = int(os.environ.get("WIKI", "0"))
+N_BANK = 47 + N_IND + 4 * WIKI  # 25 ctx-hash + 4 record + 7 text + 4 x86
 #                      + 6 analog/xml + 2 line-grid + N_IND double-indirect
 MATCH_ORDERS = tuple(
     int(o) for o in os.environ.get(
@@ -475,6 +479,22 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
     vals.append(mix32(above_l | (b1 << jnp.uint32(16)),
                       jnp.uint32(0x165667B1)))                 # 47 above+left
     vals.extend(ind_val[:, j] for j in range(1, N_IND))      # 48+ indirect
+    if WIKI:
+        # wiki/table streams: column stream (first byte of this cell in
+        # the previous row), cell-relative position, list/indent
+        # structure, column-crossed word (fxcmv1.cpp:2007-2147 class)
+        barw = jnp.arange(cs["cellidx"].shape[0])
+        pcell = cs["pcellbuf"][barw, cs["cellidx"].astype(jnp.int32)]
+        vals.append(mix32(pcell | (cs["cellidx"] << jnp.uint32(16)),
+                          jnp.uint32(0x94D049BB)))
+        vals.append(mix32(cs["cellidx"] | (cs["cellpos"] << jnp.uint32(5))
+                          | (b1 << jnp.uint32(16)),
+                          jnp.uint32(0xBF58476D)))
+        vals.append(mix32(cs["listdepth"] | (cs["listchar"] << jnp.uint32(4))
+                          | (jnp.minimum(cs["linepos"], jnp.uint32(63))
+                             << jnp.uint32(12)),
+                          jnp.uint32(0xD6E8FEB8)))
+        vals.append(mix32(cs["word"], cs["cellidx"] + jnp.uint32(0x2F)))
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24], above_l, v_alive
