@@ -16,15 +16,19 @@ through unchanged.  ``jpeg_recode`` self-checks by re-encoding and
 comparing bytes, so a non-canonical encoder (odd padding bits, trailing
 ZRL before EOB) can never corrupt an archive: it just falls back.
 
-Serialized format (all little-endian):
+Serialized format (all little-endian) -- PLANAR: coefficients grouped by
+(component, zigzag position) rather than by block, the layout that makes
+the streams homogeneous for the context mixer (lepton's organizing idea):
   u32 header_len | header bytes (SOI..end of SOS header, verbatim)
-  u32 n_dc_bytes | DC stream | AC stream
-  DC stream: one zigzag-LEB128 varint per block (the stored DIFF, in
-    decode order) -- homogeneous, strongly autocorrelated.
-  AC stream: per block, tokens in zigzag order: for each nonzero coef a
-    run byte (zeros skipped, 0..62) then a zigzag-LEB128 value; 0xFF ends
-    the block (EOB).  Values are decode-order exact, so re-encode with
-    the file's own Huffman tables reproduces the scan bit-for-bit.
+  then for each scan component c, for each zigzag position k = 0..63:
+    one zigzag-LEB128 varint per block of c, in decode order (k = 0 is
+    the stored DC DIFF).  Zero-dominated high-frequency positions become
+    long 0x00 runs; each position's value distribution is stationary, so
+    ordinary order-N contexts model it without JPEG-specific wiring.
+Counts per component derive from the SOF dims, so the streams are
+self-delimiting.  Re-encode with the file's own Huffman tables
+reproduces the scan bit-for-bit (canonical run/EOB coding assumed; the
+self-check falls back on any non-canonical encoder).
 """
 
 import struct
@@ -272,8 +276,7 @@ def _recode_inner(data):
         v = br.read(s)
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-    dc_stream = bytearray()
-    ac_stream = bytearray()
+    coefs = [[] for _ in blocks_per]        # per component: list of (64,)
     rst_n = 0
     for mcu in range(n_mcu):
         if dri and mcu and mcu % dri == 0:
@@ -282,43 +285,43 @@ def _recode_inner(data):
         for ci, nblk in blocks_per:
             dc_dec, ac_dec = dec_tabs[ci]
             for _ in range(nblk):
+                co = [0] * 64
                 s = huff_dec(dc_dec)
                 if s > 11:
                     raise ValueError("bad DC size")
-                diff = recv_extend(s)
-                _varint(dc_stream, diff)
+                co[0] = recv_extend(s)                       # stored diff
                 k = 1
                 while k < 64:
                     rs = huff_dec(ac_dec)
                     r, s = rs >> 4, rs & 15
                     if s == 0:
                         if r == 15:                          # ZRL
-                            ac_stream.append(0xFE)           # literal ZRL
                             k += 16
                             continue
                         break                                # EOB
                     k += r
                     if k > 63:
                         raise ValueError("AC overrun")
-                    ac_stream.append(r)
-                    _varint(ac_stream, recv_extend(s))
+                    co[k] = recv_extend(s)
                     k += 1
-                ac_stream.append(0xFF)
+                coefs[ci].append(co)
     end = br.finish()
     if data[end:end + 2] != b"\xFF\xD9" or end + 2 != len(data):
         return None                 # trailing garbage: keep pass-through
     hdr = data[:tb["hdr_end"]]
-    return (struct.pack("<I", len(hdr)) + hdr
-            + struct.pack("<I", len(dc_stream)) + dc_stream + ac_stream)
+    out = bytearray(struct.pack("<I", len(hdr)) + hdr)
+    for ci in range(len(blocks_per)):
+        blks = coefs[ci]
+        for k in range(64):
+            for co in blks:
+                _varint(out, co[k])
+    return bytes(out)
 
 
 def jpeg_unrecode(payload: bytes) -> bytes:
-    """Exact inverse of _recode_inner: coefficient payload -> JPEG."""
+    """Exact inverse of _recode_inner: planar payload -> JPEG."""
     (hlen,) = struct.unpack_from("<I", payload, 0)
     hdr = payload[4:4 + hlen]
-    (ndc,) = struct.unpack_from("<I", payload, 4 + hlen)
-    dcp = 8 + hlen
-    acp = dcp + ndc
     tb = _parse_tables(hdr + b"\xFF\xD9")     # header parses standalone
     if tb is None:
         raise ValueError("bad recoded header")
@@ -328,10 +331,21 @@ def jpeg_unrecode(payload: bytes) -> bytes:
     for cs, td, ta in tb["smap"]:
         enc_tabs.append((tb["huff"][(0, td)][0], tb["huff"][(1, ta)][0]))
 
+    # parse the planar streams back into per-component coefficient lists
+    p = 4 + hlen
+    coefs = []
+    for ci, nblk in blocks_per:
+        nb = n_mcu * nblk
+        arr = [[0] * 64 for _ in range(nb)]
+        for k in range(64):
+            for i in range(nb):
+                arr[i][k], p = _unvarint(payload, p)
+        coefs.append(arr)
+
     bw = _BitWriter()
     dri = tb["dri"]
     rst_n = 0
-    p_dc, p_ac = dcp, acp
+    cur = [0] * len(blocks_per)               # next block index per comp
     for mcu in range(n_mcu):
         if dri and mcu and mcu % dri == 0:
             bw.pad_align()
@@ -340,31 +354,39 @@ def jpeg_unrecode(payload: bytes) -> bytes:
         for ci, nblk in blocks_per:
             dc_enc, ac_enc = enc_tabs[ci]
             for _ in range(nblk):
-                diff, p_dc = _unvarint(payload, p_dc)
+                co = coefs[ci][cur[ci]]
+                cur[ci] += 1
+                diff = co[0]
                 s, extra = (0, 0) if diff == 0 else _mag_cat(diff)
                 code, ln = dc_enc[s]
                 bw.write(code, ln)
                 if s:
                     bw.write(extra, s)
-                k = 1
-                while True:
-                    t = payload[p_ac]
-                    p_ac += 1
-                    if t == 0xFF:                            # EOB
-                        if k < 64:
-                            code, ln = ac_enc[0x00]
-                            bw.write(code, ln)
+                # canonical run/EOB coding of the 63 AC coefficients
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if co[k]:
+                        last_nz = k
                         break
-                    if t == 0xFE:                            # ZRL
-                        code, ln = ac_enc[0xF0]
+                k = 1
+                run = 0
+                while k <= last_nz:
+                    v = co[k]
+                    if v == 0:
+                        run += 1
+                    else:
+                        while run > 15:
+                            code, ln = ac_enc[0xF0]          # ZRL
+                            bw.write(code, ln)
+                            run -= 16
+                        s, extra = _mag_cat(v)
+                        code, ln = ac_enc[(run << 4) | s]
                         bw.write(code, ln)
-                        k += 16
-                        continue
-                    val, p_ac = _unvarint(payload, p_ac)
-                    s, extra = _mag_cat(val)
-                    code, ln = ac_enc[(t << 4) | s]
+                        bw.write(extra, s)
+                        run = 0
+                    k += 1
+                if last_nz < 63:
+                    code, ln = ac_enc[0x00]                  # EOB
                     bw.write(code, ln)
-                    bw.write(extra, s)
-                    k += t + 1
     bw.pad_align()
     return bytes(hdr) + bytes(bw.out) + b"\xFF\xD9"
