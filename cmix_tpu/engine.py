@@ -197,6 +197,12 @@ APM_RATE = 0.02            # SSE node update rate
 # weight row instead of per stream).  MIX_BOOST=0 disables.
 MIX_BOOST = float(os.environ.get("MIX_BOOST", "0"))
 MIX_BOOST_N = float(os.environ.get("MIX_BOOST_N", "256"))
+# 0 freezes the final (mixer, apm1..3) blend at its init constants
+# (diagnostic/sweep knob for the learned match-gated blend)
+W_APM_LEARN = int(os.environ.get("W_APM_LEARN", "1"))
+# 1 replaces the learned blend with the fixed probability-domain
+# combiner st_fin = 0.4*st(p_mix) + 0.6*st(mean(pa1..3)) (diagnostic)
+APM_FIXED = int(os.environ.get("APM_FIXED", "0"))
 CNT_CAP = 60               # counter cap: floor adaptive rate ~ 1/62
 POS_BITS = 24              # match table: low bits position, high bits block
 
@@ -854,8 +860,12 @@ def _predict_tree_b(cfg, sh, pb, t):
     st_in = jnp.stack(
         [_stretch_f(p_mix), _stretch_f(pa1), _stretch_f(pa2),
          _stretch_f(pa3)], axis=1)                           # (B, 4, 256)
-    wa = sh["w_apm"][longest]                                # (B, 4)
-    st_fin = jnp.einsum("bj,bjk->bk", wa, st_in)
+    if APM_FIXED:
+        pa = jnp.clip((pa1 + pa2 + pa3) * (1.0 / 3.0), 1e-6, 1 - 1e-6)
+        st_fin = 0.4 * _stretch_f(p_mix) + 0.6 * _stretch_f(pa)
+    else:
+        wa = sh["w_apm"][longest]                            # (B, 4)
+        st_fin = jnp.einsum("bj,bjk->bk", wa, st_in)
     p_tree = _squash_f(st_fin)                               # (B, 256)
 
     aux = dict(rowi=rowi, rows=rows, b1=b1, d12_idx=d12_idx,
@@ -1064,10 +1074,21 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     newapm = jnp.clip(aux["apm_rows"] + d_apm, 1e-4, 1 - 1e-4)
     sh["apm"] = sh["apm"].at[aux["apm_idx"]].set(newapm)
 
-    # ---- final blend weights (match-state gated)
-    err_f = (target - aux["p_tree"]) * on_path               # (B, 256)
-    dwa = jnp.einsum("bk,bjk->bj", err_f, aux["st_in"])
-    sh["w_apm"] = sh["w_apm"].at[aux["longest"]].add(lr * dwa)
+    # ---- final blend weights (match-state gated).  The update is
+    # count-normalized per gate row: a summed .add scales with however
+    # many of the B blocks share the row that step, and at B=256 with
+    # stretch-domain inputs (|st| up to 12) one step could move a weight
+    # by ~50 -- enough to destabilize the FINAL combiner, which has no
+    # downstream stage to correct it.  Mean semantics keep the step size
+    # batch-invariant; weights are clipped as a backstop.
+    if W_APM_LEARN:
+        err_f = (target - aux["p_tree"]) * on_path           # (B, 256)
+        dwa = jnp.einsum("bk,bjk->bj", err_f, aux["st_in"])
+        cnt = jnp.zeros(64, jnp.float32).at[aux["longest"]].add(1.0)
+        acc = jnp.zeros((64, 4), jnp.float32).at[aux["longest"]].add(dwa)
+        sh["w_apm"] = jnp.clip(
+            sh["w_apm"] + lr * acc / jnp.maximum(cnt[:, None], 1.0),
+            -4.0, 4.0)
     return sh
 
 

@@ -1,0 +1,54 @@
+"""Encode-only bpb probe on the bench corpus (shrunk) -- for bisecting
+the bench-bpb regression. Usage: regress_probe.py [mb] [repo_root]"""
+import os
+import sys
+import time
+
+root = sys.argv[2] if len(sys.argv) > 2 else "/root/repo"
+sys.path.insert(0, root)
+mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+
+
+def build_corpus(mb):
+    parts = []
+    for p in ("/root/repo/testdata/text100k.raw",
+              "/root/repo/testdata/dict100k.raw",
+              "/root/repo/testdata/exe100k.raw"):
+        with open(p, "rb") as f:
+            parts.append(f.read())
+    blob = b"".join(parts)
+    need = int(mb * (1 << 20))
+    return (blob * (need // len(blob) + 1))[:need]
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+    from cmix_tpu.engine import EngineConfig, MODE_ENCODE
+    from cmix_tpu.runner import get_transcoder, _group_state, _split_blocks
+
+    cfg = EngineConfig(block_size=1 << 14, tbits=18, mbits=18, ibits=16,
+                       lstm_hidden=256, seg_size=2048)
+    data = build_corpus(mb)
+    blocks = _split_blocks(data, cfg.block_size)
+    b = blocks.shape[0]
+    trans = get_transcoder(cfg)
+    comp0 = jnp.zeros((b, cfg.comp_size), dtype=jnp.uint8)
+    inp = jnp.asarray(blocks)
+    t0 = time.time()
+    sh, pb = _group_state(cfg, b)
+    _, out, out_len = trans(sh, pb, inp, comp0, jnp.int32(MODE_ENCODE))
+    out_len = np.asarray(out_len)
+    comp_bytes = int(out_len.sum())
+    bpb = 8.0 * comp_bytes / len(data)
+    print(f"corpus={len(data)} b={b} -> {comp_bytes} bytes "
+          f"bpb={bpb:.4f} ({time.time()-t0:.0f}s)", flush=True)
+
+
+main()
