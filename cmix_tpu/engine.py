@@ -185,8 +185,9 @@ M2IN = N_MIX1 + (3 if MIX_AUX else 0)
 
 ST_CLAMP = 12.0            # stretch clamp: p in [6e-6, 1-6e-6]
 _SLOT_INIT = (4096 << 18) | (2048 << 6)   # p=0.5, st=0, cnt=0
-MIX_LR = 4e-3              # mixer learning rate at t=0
-MIX_TAU = 0.0              # LR decay: lr(t) = MIX_LR*rsqrt(1+t/TAU);
+MIX_LR = float(os.environ.get("MIX_LR", "4e-3"))  # mixer LR at t=0
+MIX_TAU = float(os.environ.get("MIX_TAU", "0"))
+#                            LR decay: lr(t) = MIX_LR*rsqrt(1+t/TAU);
 #                            0 disables (cf. the reference's decayed
 #                            mixer rate, src/mixer/mixer.cpp:56-63)
 APM_RATE = 0.02            # SSE node update rate
@@ -200,6 +201,12 @@ MIX_BOOST_N = float(os.environ.get("MIX_BOOST_N", "256"))
 # 0 freezes the final (mixer, apm1..3) blend at its init constants
 # (diagnostic/sweep knob for the learned match-gated blend)
 W_APM_LEARN = int(os.environ.get("W_APM_LEARN", "1"))
+# 1 makes ALL mixer updates batch-invariant (per-row mean instead of
+# sum over the B blocks hitting a weight row each step) -- the same
+# semantics the final blend uses after its instability fix.  The
+# summed form couples the effective learning rate to the batch size;
+# sweep MIX_LR upward when enabling this.
+MIX_NORM = int(os.environ.get("MIX_NORM", "0"))
 # 1 replaces the learned blend with the fixed probability-domain
 # combiner st_fin = 0.4*st(p_mix) + 0.6*st(mean(pa1..3)) (diagnostic)
 APM_FIXED = int(os.environ.get("APM_FIXED", "0"))
@@ -1022,15 +1029,23 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
             1e-3, 1 - 1e-3)
 
     # ---- mixers
+    B_f = 1.0 / B if MIX_NORM else 1.0       # dense-row mean vs sum
     err1 = (target[:, None, :] - aux["p1"]) * on_path[:, None, :]  # (B,8,256)
     dws = jnp.einsum("bmk,bnk->bmn", err1, aux["x"])         # (B, 8, NIN)
     sh["w1"] = sh["w1"].at[0].set(
-        aux["w_const"] + lr * jnp.sum(dws[:, 0], axis=0))
+        aux["w_const"] + lr * B_f * jnp.sum(dws[:, 0], axis=0))
     lvl_onehot = jnp.asarray(_LVL_ONEHOT)                    # (8, 256)
     dl = jnp.einsum("lk,bk,bnk->ln", lvl_onehot, err1[:, 1], aux["x"])
     sh["w1"] = jax.lax.dynamic_update_slice_in_dim(
-        sh["w1"], aux["w_level"] + lr * dl, 1, axis=0)
-    if MIX_BOOST:
+        sh["w1"], aux["w_level"] + lr * B_f * dl, 1, axis=0)
+    if MIX_NORM:
+        # per-row mean over the blocks that hit each gate row this step
+        cnt1 = jnp.zeros(_MIX1_TOTAL, jnp.float32
+                         ).at[aux["dyn_idx"]].add(1.0)
+        acc1 = jnp.zeros((_MIX1_TOTAL, N_INPUTS), jnp.float32
+                         ).at[aux["dyn_idx"]].add(dws[:, 2:])
+        sh["w1"] = sh["w1"] + lr * acc1 / jnp.maximum(cnt1[:, None], 1.0)
+    elif MIX_BOOST:
         cnt_dyn = sh["w1_cnt"][aux["dyn_idx"]]               # (B, 9)
         boost = 1.0 + MIX_BOOST * MIX_BOOST_N / (cnt_dyn + MIX_BOOST_N)
         sh["w1"] = sh["w1"].at[aux["dyn_idx"]].add(
@@ -1038,21 +1053,29 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         sh["w1_cnt"] = sh["w1_cnt"].at[aux["dyn_idx"]].add(1.0)
     else:
         sh["w1"] = sh["w1"].at[aux["dyn_idx"]].add(lr * dws[:, 2:])
-    sh["bias1"] = sh["bias1"] + lr * jnp.sum(err1, axis=0)
+    sh["bias1"] = sh["bias1"] + lr * B_f * jnp.sum(err1, axis=0)
 
     err2 = (target[:, None, :] - aux["p2"]) * on_path[:, None, :]  # (B,3,256)
     dw2 = jnp.einsum("lk,bk,bmk->lm", lvl_onehot, err2[:, 0], aux["st1"])
-    sh["w2"] = sh["w2"] + lr * dw2
+    sh["w2"] = sh["w2"] + lr * B_f * dw2
     dw2b = jnp.einsum("bk,bmk->bm", err2[:, 1], aux["st1"])
-    sh["w2b"] = sh["w2b"].at[aux["b1"]].add(lr * dw2b)
     dw2c = jnp.einsum("bk,bmk->bm", err2[:, 2], aux["st1"])
-    sh["w2c"] = sh["w2c"].at[aux["clsg"]].add(lr * dw2c)
-    sh["bias2"] = sh["bias2"] + lr * jnp.sum(err2, axis=0)
+    if MIX_NORM:
+        cb = jnp.zeros(256, jnp.float32).at[aux["b1"]].add(1.0)
+        ab = jnp.zeros((256, M2IN), jnp.float32).at[aux["b1"]].add(dw2b)
+        sh["w2b"] = sh["w2b"] + lr * ab / jnp.maximum(cb[:, None], 1.0)
+        cc = jnp.zeros(64, jnp.float32).at[aux["clsg"]].add(1.0)
+        ac = jnp.zeros((64, M2IN), jnp.float32).at[aux["clsg"]].add(dw2c)
+        sh["w2c"] = sh["w2c"] + lr * ac / jnp.maximum(cc[:, None], 1.0)
+    else:
+        sh["w2b"] = sh["w2b"].at[aux["b1"]].add(lr * dw2b)
+        sh["w2c"] = sh["w2c"].at[aux["clsg"]].add(lr * dw2c)
+    sh["bias2"] = sh["bias2"] + lr * B_f * jnp.sum(err2, axis=0)
 
     err3 = (target - aux["p_mix"]) * on_path                 # (B, 256)
     dw3 = jnp.einsum("lk,bk,bjk->lj", lvl_onehot, err3, aux["st2"])
-    sh["w3"] = sh["w3"] + lr * dw3
-    sh["bias3"] = sh["bias3"] + lr * jnp.sum(err3, axis=0)
+    sh["w3"] = sh["w3"] + lr * B_f * dw3
+    sh["bias3"] = sh["bias3"] + lr * B_f * jnp.sum(err3, axis=0)
 
     # ---- APMs: in-row one-hot updates, one row scatter
     p_tree_p = jnp.take_along_axis(aux["p_tree"], n8, axis=1)  # (B, 8)
