@@ -207,6 +207,12 @@ W_APM_LEARN = int(os.environ.get("W_APM_LEARN", "1"))
 # summed form couples the effective learning rate to the batch size;
 # sweep MIX_LR upward when enabling this.
 MIX_NORM = int(os.environ.get("MIX_NORM", "0"))
+# 1 likewise normalizes the shared model-statistic updates (d0, state
+# bank probabilities, PPM SEE, match/vmatch/lms confidences): their
+# rates were chosen for per-stream sequential updates, but the batched
+# sum delivers up to B x 8 aggregated deltas to one shared row per step
+# (at B=256 they pin against their clip bounds and oscillate).
+STAT_NORM = int(os.environ.get("STAT_NORM", "0"))
 # 1 replaces the learned blend with the fixed probability-domain
 # combiner st_fin = 0.4*st(p_mix) + 0.6*st(mean(pa1..3)) (diagnostic)
 APM_FIXED = int(os.environ.get("APM_FIXED", "0"))
@@ -934,8 +940,12 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     c0 = sh["d0_c"]
     r0 = 1.0 / (c0 + 1.6)
     delta0 = jnp.sum((target - sh["d0_p"][None]) * on_path, axis=0)
+    hits0 = jnp.sum(on_path, axis=0)
+    if STAT_NORM:
+        delta0 = delta0 / jnp.maximum(hits0, 1.0)
+        hits0 = jnp.minimum(hits0, 1.0)
     sh["d0_p"] = jnp.clip(sh["d0_p"] + r0 * delta0, 1e-4, 1 - 1e-4)
-    sh["d0_c"] = jnp.minimum(c0 + jnp.sum(on_path, axis=0), float(CNT_CAP))
+    sh["d0_c"] = jnp.minimum(c0 + hits0, float(CNT_CAP))
 
     # ---- d1/d2 arena: masked row updates, one scatter (dense form --
     # see the bank note above)
@@ -966,10 +976,19 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     esc_t = (obs_eff[:, :, 0] == 0).astype(jnp.float32)      # (B, NP)
     see_msk = (aux["ptot"] > 0).astype(jnp.float32)
     d_see = SEE_RATE * (esc_t - aux["see_p"]) * see_msk
-    sh["ppm_see"] = jnp.clip(
-        sh["ppm_see"].at[p_ar[None, :], aux["see_d"],
-                         aux["see_t"]].add(d_see),
-        1e-3, 1.0 - 1e-3)
+    if STAT_NORM:
+        see_cnt = jnp.zeros_like(sh["ppm_see"]).at[
+            p_ar[None, :], aux["see_d"], aux["see_t"]].add(see_msk)
+        see_acc = jnp.zeros_like(sh["ppm_see"]).at[
+            p_ar[None, :], aux["see_d"], aux["see_t"]].add(d_see)
+        sh["ppm_see"] = jnp.clip(
+            sh["ppm_see"] + see_acc / jnp.maximum(see_cnt, 1.0),
+            1e-3, 1.0 - 1e-3)
+    else:
+        sh["ppm_see"] = jnp.clip(
+            sh["ppm_see"].at[p_ar[None, :], aux["see_d"],
+                             aux["see_t"]].add(d_see),
+            1e-3, 1.0 - 1e-3)
 
     # ---- state bank: advance ONLY the 8 path slots' automaton states
     # (8 indices/block instead of 256 -- the all-node gather from the
@@ -987,9 +1006,19 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         s_ar[None, :, None], s8, t8_i].astype(jnp.int32)     # (B, NS, 8)
     pm = sh["sbank_p"][s_ar[None, :, None], s8]              # (B, NS, 8)
     errs = t8[:, None, :] - pm
-    sh["sbank_p"] = jnp.clip(
-        sh["sbank_p"].at[s_ar[None, :, None], s8].add(SBANK_RATE * errs),
-        1e-4, 1 - 1e-4)
+    if STAT_NORM:
+        sb_cnt = jnp.zeros_like(sh["sbank_p"]).at[
+            s_ar[None, :, None], s8].add(1.0)
+        sb_acc = jnp.zeros_like(sh["sbank_p"]).at[
+            s_ar[None, :, None], s8].add(SBANK_RATE * errs)
+        sh["sbank_p"] = jnp.clip(
+            sh["sbank_p"] + sb_acc / jnp.maximum(sb_cnt, 1.0),
+            1e-4, 1 - 1e-4)
+    else:
+        sh["sbank_p"] = jnp.clip(
+            sh["sbank_p"].at[s_ar[None, :, None], s8].add(
+                SBANK_RATE * errs),
+            1e-4, 1 - 1e-4)
     p_nxt = sh["sbank_p"][s_ar[None, :, None], nxt8]         # (B, NS, 8)
     st13 = jnp.clip(_stretch_f(p_nxt) * 256.0 + 4096.0,
                     0, 8191).astype(jnp.uint32)
@@ -1007,26 +1036,34 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     derr = (frac_hit - aux["conf"]) * 0.03 * jnp.minimum(n_alive, 1.0)
     oh_len = (jnp.arange(32)[None, None, :]
               == aux["lenb"][:, :, None]).astype(jnp.float32)
-    sh["match_conf"] = jnp.clip(
-        sh["match_conf"] + jnp.sum(oh_len * derr[:, :, None], axis=0),
-        1e-3, 1 - 1e-3)
+    d_mc = jnp.sum(oh_len * derr[:, :, None], axis=0)        # (NM, 32)
+    if STAT_NORM:
+        active = (jnp.abs(derr) > 0).astype(jnp.float32)
+        n_mc = jnp.sum(oh_len * active[:, :, None], axis=0)
+        d_mc = d_mc / jnp.maximum(n_mc, 1.0)
+    sh["match_conf"] = jnp.clip(sh["match_conf"] + d_mc, 1e-3, 1 - 1e-3)
     if VMATCH:
         v_af = aux["valive"].astype(jnp.float32)             # (B,)
         vhit = (aux["vexp"] == byte).astype(jnp.float32)
         vderr = (vhit - aux["vconf"]) * 0.03 * v_af
         voh = (jnp.arange(32)[None, :]
                == aux["vlml"][:, None]).astype(jnp.float32)
+        d_vm = jnp.sum(voh * vderr[:, None], axis=0)
+        if STAT_NORM:
+            n_vm = jnp.sum(voh * v_af[:, None], axis=0)
+            d_vm = d_vm / jnp.maximum(n_vm, 1.0)
         sh["vmatch_conf"] = jnp.clip(
-            sh["vmatch_conf"] + jnp.sum(voh * vderr[:, None], axis=0),
-            1e-3, 1 - 1e-3)
+            sh["vmatch_conf"] + d_vm, 1e-3, 1 - 1e-3)
     if LMS:
         lhit = (aux["lms_pbyte"] == byte).astype(jnp.float32)
         lderr = (lhit - aux["lms_conf"]) * 0.02
         loh = (jnp.arange(16)[None, :]
                == aux["lms_errb"][:, None]).astype(jnp.float32)
+        d_lm = jnp.sum(loh * lderr[:, None], axis=0)
+        if STAT_NORM:
+            d_lm = d_lm / jnp.maximum(jnp.sum(loh, axis=0), 1.0)
         sh["lms_conf"] = jnp.clip(
-            sh["lms_conf"] + jnp.sum(loh * lderr[:, None], axis=0),
-            1e-3, 1 - 1e-3)
+            sh["lms_conf"] + d_lm, 1e-3, 1 - 1e-3)
 
     # ---- mixers
     B_f = 1.0 / B if MIX_NORM else 1.0       # dense-row mean vs sum
