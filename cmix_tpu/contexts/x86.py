@@ -131,7 +131,12 @@ def init_x86_state():
     """Per-block decoder registers (unbatched; runner broadcasts)."""
     z = jnp.zeros((), dtype=jnp.uint32)
     return {"phase": z, "rem": z, "pimm": z, "op": z, "modrm": z,
-            "ipos": z, "opln": z, "lastjmp": z}
+            "ipos": z, "opln": z, "lastjmp": z,
+            # opcode-stream history: previous opcode and a rolling hash
+            # of the last opcodes (operand bytes excluded) -- the
+            # reference exeModel's opcode n-gram contexts
+            # (src/models/paq8.cpp:6590-7546 Cache of recent opcodes)
+            "pop": z, "ophist": z}
 
 
 def x86_update(st, b):
@@ -208,9 +213,15 @@ def x86_update(st, b):
     lastjmp = jnp.where(started & (jj == 1) & is_op1, jnp.uint32(1),
                         jnp.where(done, jnp.uint32(0),
                                   st["lastjmp"]))
+    pop = jnp.where(started, op, st["pop"])
+    ophist = jnp.where(
+        started,
+        st["ophist"] * jnp.uint32(0x2545F491) + opc + jnp.uint32(1),
+        st["ophist"])
     return {"phase": nxt, "rem": jnp.minimum(new_rem, jnp.uint32(15)),
             "pimm": new_pimm, "op": new_op, "modrm": new_modrm,
-            "ipos": new_ipos, "opln": new_opln, "lastjmp": lastjmp}
+            "ipos": new_ipos, "opln": new_opln, "lastjmp": lastjmp,
+            "pop": pop, "ophist": ophist}
 
 
 def x86_ctx_vals(st):
@@ -232,3 +243,16 @@ def x86_ctx_vals(st):
     gate = (st["phase"] * jnp.uint32(16)
             + jnp.minimum(st["rem"], jnp.uint32(15))) & jnp.uint32(63)
     return jnp.stack([v1, v2, v3, v4], axis=1), gate
+
+
+def x86_ext_vals(st):
+    """Opcode-stream contexts (B, 2): (prev op, op, pos) bigram and the
+    rolling opcode-history hash crossed with position (the exeModel's
+    opcode n-gram class)."""
+    from cmix_tpu.contexts.hashes import mix32
+    v5 = mix32(st["pop"] * jnp.uint32(0x600) + st["op"] * jnp.uint32(2)
+               + jnp.minimum(st["ipos"], jnp.uint32(1)),
+               jnp.uint32(0x7F4A7C15))
+    v6 = mix32(st["ophist"],
+               st["ipos"] + jnp.uint32(0x61C88647))
+    return jnp.stack([v5, v6], axis=1)

@@ -80,7 +80,11 @@ N_IND = int(os.environ.get("CMIX_N_IND", "4"))
 # src/models/fxcmv1.cpp:2007-2147): previous-row column stream, cell
 # position, list/indent structure, column-crossed word.  Gated.
 WIKI = int(os.environ.get("WIKI", "0"))
-N_BANK = 47 + N_IND + 4 * WIKI  # 25 ctx-hash + 4 record + 7 text + 4 x86
+# X86X adds 2 opcode-stream contexts (prev-op bigram, opcode n-gram
+# hash) -- the exeModel's opcode-history class (contexts/x86.py)
+X86X = int(os.environ.get("X86X", "0"))
+N_BANK = 47 + N_IND + 4 * WIKI + 2 * X86X
+#                      25 ctx-hash + 4 record + 7 text + 4 x86
 #                      + 6 analog/xml + 2 line-grid + N_IND double-indirect
 MATCH_ORDERS = tuple(
     int(o) for o in os.environ.get(
@@ -425,7 +429,7 @@ def _qdelta(a, b):
             + (d < 0).astype(jnp.int32)).astype(jnp.uint32)
 
 
-def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
+def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
     """uint32[B, N_BANK] per-byte context values for the model bank.
 
     rec_vals: uint32 (B, 4) record-grid context values (see
@@ -514,6 +518,11 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals):
                              << jnp.uint32(12)),
                           jnp.uint32(0xD6E8FEB8)))
         vals.append(mix32(cs["word"], cs["cellidx"] + jnp.uint32(0x2F)))
+    if X86X:
+        from cmix_tpu.contexts.x86 import x86_ext_vals
+        xe = x86_ext_vals(x86_state)
+        vals.append(xe[:, 0])
+        vals.append(xe[:, 1])
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24], above_l, v_alive
@@ -610,7 +619,7 @@ def _predict_tree_b(cfg, sh, pb, t):
     rec_vals, rec_rl, rec_posr = _record_ctx_vals(cfg, pb, t)
     x86_vals, x86_gate = x86_ctx_vals(pb["x86"])
     bases, brctx, above_l, v_alive = _bank_bases_b(
-        cs, pb["ind_val"], rec_vals, x86_vals)
+        cs, pb["ind_val"], rec_vals, x86_vals, pb["x86"])
     brctx = brctx.astype(jnp.int32)
     B = bases.shape[0]
 
