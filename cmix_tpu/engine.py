@@ -217,6 +217,13 @@ MIX_NORM = int(os.environ.get("MIX_NORM", "0"))
 # sum delivers up to B x 8 aggregated deltas to one shared row per step
 # (at B=256 they pin against their clip bounds and oscillate).
 STAT_NORM = int(os.environ.get("STAT_NORM", "0"))
+# APM2X adds two more SSE tables -- word-gated and line/class-gated --
+# extending the APM chain toward the reference's deeper SSE stacks
+# (fxcm's 6-APM chain, src/models/fxcmv1.cpp:4630-4833; paq8's
+# filetype APM chains, src/models/paq8.cpp:8208-8362)
+APM2X = int(os.environ.get("APM2X", "0"))
+N_APM = 3 + 2 * APM2X
+APM_ROWS = 576 + 512 * APM2X
 # 1 replaces the learned blend with the fixed probability-domain
 # combiner st_fin = 0.4*st(p_mix) + 0.6*st(mean(pa1..3)) (diagnostic)
 APM_FIXED = int(os.environ.get("APM_FIXED", "0"))
@@ -338,12 +345,13 @@ def init_shared(cfg: EngineConfig):
         "bias3": jnp.zeros(256, dtype=jnp.float32),
         # APM rows: [0,256) last byte | [256,320) match state |
         # [320,576) order-2 hash
-        "apm": jnp.tile(_apm_row(), (576, 1)),
+        "apm": jnp.tile(_apm_row(), (APM_ROWS, 1)),
         # learned final blend over (mixer, apm1..3) stretches, gated by
         # the match state (the fxcm fail-counter APM blending idea,
         # src/models/fxcmv1.cpp:4630-4833, as a trained micro-mixer)
-        "w_apm": jnp.tile(jnp.asarray([0.4, 0.2, 0.2, 0.2],
-                                      jnp.float32)[None], (64, 1)),
+        "w_apm": jnp.tile(jnp.concatenate([
+            jnp.asarray([0.4], jnp.float32),
+            jnp.full(N_APM, 0.6 / N_APM, jnp.float32)])[None], (64, 1)),
         # vocabulary forcing per tree node: 0 none, 1 force-0, 2 force-1
         # (cf. the reference's vocab bitmap, src/runner.cpp:44-51)
         "vocab_force": jnp.zeros(256, dtype=jnp.int32),
@@ -874,16 +882,26 @@ def _predict_tree_b(cfg, sh, pb, t):
 
     o2g = ((cs["ohash"][:, 2] >> jnp.uint32(17))
            & jnp.uint32(0xFF)).astype(jnp.int32)
-    apm_idx = jnp.stack([b1, 256 + longest, 320 + o2g], axis=1)  # (B, 3)
-    apm_rows = sh["apm"][apm_idx]                            # (B, 3, 33)
-    pa1, t1, f1 = apm(apm_rows[:, 0], p_mix)
-    pa2, t2, f2 = apm(apm_rows[:, 1], p_mix)
-    pa3, t3, f3 = apm(apm_rows[:, 2], p_mix)
+    apm_gates = [b1, 256 + longest, 320 + o2g]
+    if APM2X:
+        apm_gates.append(
+            576 + (cs["word"] & jnp.uint32(0xFF)).astype(jnp.int32))
+        apm_gates.append(
+            832 + (jnp.minimum(cs["linepos"], jnp.uint32(63)) * 4
+                   + (cs["cls2reg"] & jnp.uint32(3))).astype(jnp.int32))
+    apm_idx = jnp.stack(apm_gates, axis=1)                   # (B, NA)
+    apm_rows = sh["apm"][apm_idx]                            # (B, NA, 33)
+    pas, tls, frs = [], [], []
+    for j in range(N_APM):
+        pa_j, t_j, f_j = apm(apm_rows[:, j], p_mix)
+        pas.append(pa_j)
+        tls.append(t_j)
+        frs.append(f_j)
     st_in = jnp.stack(
-        [_stretch_f(p_mix), _stretch_f(pa1), _stretch_f(pa2),
-         _stretch_f(pa3)], axis=1)                           # (B, 4, 256)
+        [_stretch_f(p_mix)] + [_stretch_f(p) for p in pas],
+        axis=1)                                              # (B, 1+NA, 256)
     if APM_FIXED:
-        pa = jnp.clip((pa1 + pa2 + pa3) * (1.0 / 3.0), 1e-6, 1 - 1e-6)
+        pa = jnp.clip(sum(pas) * (1.0 / N_APM), 1e-6, 1 - 1e-6)
         st_fin = 0.4 * _stretch_f(p_mix) + 0.6 * _stretch_f(pa)
     else:
         wa = sh["w_apm"][longest]                            # (B, 4)
@@ -899,7 +917,7 @@ def _predict_tree_b(cfg, sh, pb, t):
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
                w_level=w_level, p1=p1, st1=st1c, p_mix=p_mix,
                p2=p2, st2=st2, clsg=clsg,
-               longest=longest, t1=t1, f1=f1, t2=t2, f2=f2, t3=t3, f3=f3,
+               longest=longest, tls=tuple(tls), frs=tuple(frs),
                st_in=st_in, p_tree=p_tree,
                vlml=vlml, vconf=vconf, vexp=vexp_i, valive=v_alive,
                lms_xs=xs_f, lms_pred=predf, lms_pbyte=pbyte,
@@ -1137,9 +1155,8 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         return jnp.sum(oh_l * ((1 - f_p) * errp)[:, :, None]
                        + oh_r * (f_p * errp)[:, :, None], axis=1)
 
-    d_apm = jnp.stack([apm_row_delta(aux["t1"], aux["f1"]),
-                       apm_row_delta(aux["t2"], aux["f2"]),
-                       apm_row_delta(aux["t3"], aux["f3"])], axis=1)
+    d_apm = jnp.stack([apm_row_delta(t, f)
+                       for t, f in zip(aux["tls"], aux["frs"])], axis=1)
     newapm = jnp.clip(aux["apm_rows"] + d_apm, 1e-4, 1 - 1e-4)
     sh["apm"] = sh["apm"].at[aux["apm_idx"]].set(newapm)
 
@@ -1154,7 +1171,8 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         err_f = (target - aux["p_tree"]) * on_path           # (B, 256)
         dwa = jnp.einsum("bk,bjk->bj", err_f, aux["st_in"])
         cnt = jnp.zeros(64, jnp.float32).at[aux["longest"]].add(1.0)
-        acc = jnp.zeros((64, 4), jnp.float32).at[aux["longest"]].add(dwa)
+        acc = jnp.zeros((64, 1 + N_APM),
+                        jnp.float32).at[aux["longest"]].add(dwa)
         sh["w_apm"] = jnp.clip(
             sh["w_apm"] + lr * acc / jnp.maximum(cnt[:, None], 1.0),
             -4.0, 4.0)
