@@ -372,7 +372,11 @@ def transform(data: bytes, dictionary=None):
             meta.append((typ, len(raw), len(raw), stride))
             continue
         if typ == SEG_JPEG:
-            if os.environ.get("CMIX_JPEGC", "1") != "0":
+            # default off: measured on-chip, the generic CM over the
+            # coefficient stream does not yet beat the scan's own
+            # Huffman coding (pass-through archives smaller); flip
+            # CMIX_JPEGC=1 once a coefficient-grid model lands
+            if os.environ.get("CMIX_JPEGC", "0") == "1":
                 from cmix_tpu.preprocess.jpeg import jpeg_recode
                 enc = jpeg_recode(raw)       # None unless exact inverse
                 if enc is not None:

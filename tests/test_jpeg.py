@@ -64,7 +64,8 @@ def test_recode_rejects_truncated_and_junk():
     assert jpeg_recode(b"\xFF\xD8\xFF" + data[7:]) is None
 
 
-def test_transform_routes_to_jpegc():
+def test_transform_routes_to_jpegc(monkeypatch):
+    monkeypatch.setenv("CMIX_JPEGC", "1")
     jp = _make_jpeg(quality=85)
     data = b"some text around it " * 120 + jp + b" and a tail" * 30
     payload, meta = transform(data, None)
@@ -85,7 +86,8 @@ def test_transform_passthrough_when_recode_fails(monkeypatch):
     assert untransform(payload, meta, None) == data
 
 
-def test_compress_roundtrip_jpeg():
+def test_compress_roundtrip_jpeg(monkeypatch):
+    monkeypatch.setenv("CMIX_JPEGC", "1")
     jp = _make_jpeg(w=48, h=40, quality=80)
     data = b"prefix " * 64 + jp + b" suffix" * 16
     cfg = EngineConfig(block_size=2048, tbits=14, mbits=14, ibits=12,
