@@ -16,15 +16,21 @@ through unchanged.  ``jpeg_recode`` self-checks by re-encoding and
 comparing bytes, so a non-canonical encoder (odd padding bits, trailing
 ZRL before EOB) can never corrupt an archive: it just falls back.
 
-Serialized format (all little-endian) -- PLANAR: coefficients grouped by
-(component, zigzag position) rather than by block, the layout that makes
-the streams homogeneous for the context mixer (lepton's organizing idea):
+Serialized format (all little-endian) -- FIXED-WIDTH PLANES: the
+coefficients are grouped by (component, zigzag position) into planes of
+exactly one byte per block (lepton's organizing idea, shaped so the
+geometry is STATIC):
   u32 header_len | header bytes (SOI..end of SOS header, verbatim)
   then for each scan component c, for each zigzag position k = 0..63:
-    one zigzag-LEB128 varint per block of c, in decode order (k = 0 is
-    the stored DC DIFF).  Zero-dominated high-frequency positions become
-    long 0x00 runs; each position's value distribution is stationary, so
-    ordinary order-N contexts model it without JPEG-specific wiring.
+    one byte per block of c in decode order: value+128 for values in
+    [-127, 126] (k = 0 is the stored DC DIFF); 0xFF escapes to the side
+    stream.  Then a trailing side stream of zigzag-LEB128 varints, one
+    per escape, in plane order.
+Fixed width means (a) every plane is block-count bytes, so each zigzag
+position's distribution is a contiguous stationary region, and (b) the
+segment's record stride can be set to the image's blocks-per-row,
+engaging the engine's record-grid W/N/NW contexts as 2D neighbor-block
+contexts within each plane (the im*bitModel idea applied to DCT space).
 Counts per component derive from the SOF dims, so the streams are
 self-delimiting.  Re-encode with the file's own Huffman tables
 reproduces the scan bit-for-bit (canonical run/EOB coding assumed; the
@@ -230,6 +236,29 @@ def _mcu_layout(frame):
     return mcux * mcuy, [(ci, c[1] * c[2]) for ci, c in enumerate(comps)]
 
 
+def _rowmajor_order(frame):
+    """Per component: (bw, bh, perm) where perm[row_major_i] = the
+    decode-order block index.  Planes are serialized row-major so a
+    fixed per-plane stride (bw) makes the byte directly above the
+    vertical neighbor block."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    out = []
+    for cid, ch, cv, tq in comps:
+        bw, bh = mcux * ch, \
+            ((h + 8 * vmax - 1) // (8 * vmax)) * cv
+        perm = []
+        for r in range(bh):
+            for c in range(bw):
+                mcu = (r // cv) * mcux + (c // ch)
+                within = (r % cv) * ch + (c % ch)
+                perm.append(mcu * ch * cv + within)
+        out.append((bw, bh, perm))
+    return out
+
+
 def jpeg_recode(data: bytes):
     """bytes of one SOI..EOI JPEG -> coefficient payload, or None.
 
@@ -310,12 +339,30 @@ def _recode_inner(data):
         return None                 # trailing garbage: keep pass-through
     hdr = data[:tb["hdr_end"]]
     out = bytearray(struct.pack("<I", len(hdr)) + hdr)
-    for ci in range(len(blocks_per)):
+    esc = bytearray()
+    for ci, (bw, bh, perm) in enumerate(_rowmajor_order(frame)):
         blks = coefs[ci]
+        if len(blks) != len(perm):
+            return None
         for k in range(64):
-            for co in blks:
-                _varint(out, co[k])
-    return bytes(out)
+            for idx in perm:
+                v = blks[idx][k]
+                if -127 <= v <= 126:
+                    out.append(v + 128)
+                else:
+                    out.append(0xFF)
+                    _varint(esc, v)
+    return bytes(out) + bytes(esc)
+
+
+def jpeg_stride(data: bytes):
+    """Block-row width of the scan's first (dominant) component -- the
+    record stride that makes each plane byte vertically adjacent to the
+    block directly above in the image.  0 if unparsable."""
+    tb = _parse_tables(data)
+    if tb is None:
+        return 0
+    return _rowmajor_order(tb["frame"])[0][0]
 
 
 def jpeg_unrecode(payload: bytes) -> bytes:
@@ -331,16 +378,29 @@ def jpeg_unrecode(payload: bytes) -> bytes:
     for cs, td, ta in tb["smap"]:
         enc_tabs.append((tb["huff"][(0, td)][0], tb["huff"][(1, ta)][0]))
 
-    # parse the planar streams back into per-component coefficient lists
+    # parse the fixed-width planes back into per-component coefficient
+    # lists (decode order); escapes resolve from the trailing stream
     p = 4 + hlen
+    orders = _rowmajor_order(frame)
+    esc_at = []                               # (ci, decode_idx, k) queue
     coefs = []
     for ci, nblk in blocks_per:
         nb = n_mcu * nblk
+        bw, bh, perm = orders[ci]
+        if len(perm) != nb:
+            raise ValueError("geometry mismatch")
         arr = [[0] * 64 for _ in range(nb)]
         for k in range(64):
-            for i in range(nb):
-                arr[i][k], p = _unvarint(payload, p)
+            for idx in perm:
+                b = payload[p]
+                p += 1
+                if b == 0xFF:
+                    esc_at.append((arr, idx, k))
+                else:
+                    arr[idx][k] = b - 128
         coefs.append(arr)
+    for arr, idx, k in esc_at:
+        arr[idx][k], p = _unvarint(payload, p)
 
     bw = _BitWriter()
     dri = tb["dri"]

@@ -291,6 +291,8 @@ SEG_JPEG = 6
 # segment table, so decode needs no gate.
 SEG_JPEGC = 7
 _MEDIA_SEGS = (SEG_IMG24, SEG_IMG8, SEG_AUDIO)
+# segments whose meta entry carries a 4th field (record stride hint)
+_STRIDE_SEGS = _MEDIA_SEGS + (SEG_JPEGC,)
 _DETECT_CHUNK = 1 << 16
 
 
@@ -377,11 +379,13 @@ def transform(data: bytes, dictionary=None):
             # Huffman coding (pass-through archives smaller); flip
             # CMIX_JPEGC=1 once a coefficient-grid model lands
             if os.environ.get("CMIX_JPEGC", "0") == "1":
-                from cmix_tpu.preprocess.jpeg import jpeg_recode
+                from cmix_tpu.preprocess.jpeg import (
+                    jpeg_recode, jpeg_stride)
                 enc = jpeg_recode(raw)       # None unless exact inverse
                 if enc is not None:
                     payload += enc
-                    meta.append((SEG_JPEGC, len(enc), len(raw)))
+                    meta.append((SEG_JPEGC, len(enc), len(raw),
+                                 jpeg_stride(raw)))
                     continue
             payload += raw                   # pass-through, no stride
             meta.append((SEG_JPEG, len(raw), len(raw)))
@@ -405,7 +409,7 @@ def block_strides(meta, n_blocks, block_size):
     off = 0
     for entry in meta:
         typ, enc_len = entry[0], entry[1]
-        if typ in _MEDIA_SEGS and len(entry) > 3 and 2 <= entry[3] < 4096:
+        if typ in _STRIDE_SEGS and len(entry) > 3 and 2 <= entry[3] < 4096:
             stride = entry[3]
             b0 = off // block_size
             b1 = min((off + enc_len - 1) // block_size, n_blocks - 1)

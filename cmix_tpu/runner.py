@@ -327,10 +327,10 @@ def decompress(archive: bytes, max_batch: int = 64,
         (nseg,) = struct.unpack("<I", archive[off:off + 4])
         off += 4
         seg_meta = []
-        from cmix_tpu.preprocess.wrt import _MEDIA_SEGS
+        from cmix_tpu.preprocess.wrt import _STRIDE_SEGS
         for _ in range(nseg):
             t = archive[off]
-            if t in _MEDIA_SEGS:
+            if t in _STRIDE_SEGS:
                 t, el, rl, stride = struct.unpack(
                     "<BIII", archive[off:off + 13])
                 seg_meta.append((t, el, rl, stride))
