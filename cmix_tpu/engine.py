@@ -79,7 +79,7 @@ N_IND = int(os.environ.get("CMIX_N_IND", "4"))
 # Wiki/table stream contexts (fxcm's wiki table/column streams,
 # src/models/fxcmv1.cpp:2007-2147): previous-row column stream, cell
 # position, list/indent structure, column-crossed word.  Gated.
-WIKI = int(os.environ.get("WIKI", "0"))
+WIKI = int(os.environ.get("WIKI", "1"))
 # X86X adds 2 opcode-stream contexts (prev-op bigram, opcode n-gram
 # hash) -- the exeModel's opcode-history class (contexts/x86.py)
 X86X = int(os.environ.get("X86X", "0"))
@@ -210,13 +210,13 @@ W_APM_LEARN = int(os.environ.get("W_APM_LEARN", "1"))
 # semantics the final blend uses after its instability fix.  The
 # summed form couples the effective learning rate to the batch size;
 # sweep MIX_LR upward when enabling this.
-MIX_NORM = int(os.environ.get("MIX_NORM", "0"))
+MIX_NORM = int(os.environ.get("MIX_NORM", "1"))
 # 1 likewise normalizes the shared model-statistic updates (d0, state
 # bank probabilities, PPM SEE, match/vmatch/lms confidences): their
 # rates were chosen for per-stream sequential updates, but the batched
 # sum delivers up to B x 8 aggregated deltas to one shared row per step
 # (at B=256 they pin against their clip bounds and oscillate).
-STAT_NORM = int(os.environ.get("STAT_NORM", "0"))
+STAT_NORM = int(os.environ.get("STAT_NORM", "1"))
 # APM2X adds two more SSE tables -- word-gated and line/class-gated --
 # extending the APM chain toward the reference's deeper SSE stacks
 # (fxcm's 6-APM chain, src/models/fxcmv1.cpp:4630-4833; paq8's
