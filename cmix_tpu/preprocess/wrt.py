@@ -374,11 +374,10 @@ def transform(data: bytes, dictionary=None):
             meta.append((typ, len(raw), len(raw), stride))
             continue
         if typ == SEG_JPEG:
-            # default off: measured on-chip, the generic CM over the
-            # coefficient stream does not yet beat the scan's own
-            # Huffman coding (pass-through archives smaller); flip
-            # CMIX_JPEGC=1 once a coefficient-grid model lands
-            if os.environ.get("CMIX_JPEGC", "0") == "1":
+            # measured on-chip: fixed-width row-major planes with the
+            # record-grid stride hint archive a real photo at 0.952x
+            # the original vs 0.991x pass-through
+            if os.environ.get("CMIX_JPEGC", "1") != "0":
                 from cmix_tpu.preprocess.jpeg import (
                     jpeg_recode, jpeg_stride)
                 enc = jpeg_recode(raw)       # None unless exact inverse
