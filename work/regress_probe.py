@@ -33,8 +33,15 @@ def main():
     from cmix_tpu.engine import EngineConfig, MODE_ENCODE
     from cmix_tpu.runner import get_transcoder, _group_state, _split_blocks
 
-    cfg = EngineConfig(block_size=1 << 14, tbits=18, mbits=18, ibits=16,
-                       lstm_hidden=256, seg_size=2048)
+    cfg = EngineConfig(block_size=int(os.environ.get("BLKSZ", 1 << 14)),
+                       tbits=int(os.environ.get("TBITS", 18)),
+                       mbits=int(os.environ.get("MBITS", 18)),
+                       ibits=int(os.environ.get("IBITS", 16)),
+                       pbits=int(os.environ.get("PBITS", 20)),
+                       lstm_hidden=int(os.environ.get("LSTM_H", 256)),
+                       lstm_horizon=int(os.environ.get("LSTM_WIN", 8)),
+                       dmc_nodes=int(os.environ.get("DMC_N", 16384)),
+                       seg_size=int(os.environ.get("SEGSZ", 2048)))
     data = build_corpus(mb)
     blocks = _split_blocks(data, cfg.block_size)
     b = blocks.shape[0]
@@ -45,10 +52,17 @@ def main():
     sh, pb = _group_state(cfg, b)
     _, out, out_len = trans(sh, pb, inp, comp0, jnp.int32(MODE_ENCODE))
     out_len = np.asarray(out_len)
+    t1 = time.time() - t0
     comp_bytes = int(out_len.sum())
     bpb = 8.0 * comp_bytes / len(data)
+    hot = ""
+    if os.environ.get("PROBE_HOT") == "1":   # second pass: compile cached
+        t0 = time.time()
+        sh, pb = _group_state(cfg, b)
+        _, _, _ = trans(sh, pb, inp, comp0, jnp.int32(MODE_ENCODE))
+        hot = f" hot={time.time()-t0:.0f}s"
     print(f"corpus={len(data)} b={b} -> {comp_bytes} bytes "
-          f"bpb={bpb:.4f} ({time.time()-t0:.0f}s)", flush=True)
+          f"bpb={bpb:.4f} ({t1:.0f}s{hot})", flush=True)
 
 
 main()
