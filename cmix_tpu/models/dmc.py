@@ -166,15 +166,25 @@ def byte_update(pb, byte):
     nxt_t = jnp.take_along_axis(nxt, pair(T), axis=1)
     nxt = nxt.at[bar, pair(ucl)].set(nxt_t, mode="drop")
     nxt = nxt.at[bar, SB].set(U)                         # redirect edges
-    # dense safety/limit pass: clamp, halve rows past the count limit
-    c2 = jnp.maximum(cnt.reshape(B, 2, N), 0.01)
-    halve = (jnp.max(c2, axis=1, keepdims=True) > CNT_LIMIT)
-    cnt = jnp.where(halve, c2 * 0.5, c2).reshape(B, 2 * N)
-    # ---- 5. probability cache refresh at all touched nodes
+    # ---- 5. sparse safety/limit pass + probability cache refresh.
+    # Counts only change at the nodes this byte touched ({S, T, clone
+    # slots}), so the clamp (floor 0.01) and the past-limit halving can
+    # run on the <=24 touched nodes instead of a dense (B, 2N) pass --
+    # profiled at ~30% of the whole engine step.  Untouched nodes are
+    # always >= INIT_CNT and <= CNT_LIMIT already, so the semantics (and
+    # the archive format) are unchanged.  Duplicate touched indices
+    # gather identical post-update values and scatter identical results.
     touched = jnp.concatenate(
         [S, T, jnp.where(do_clone, U, T)], axis=1)       # (B, 24)
-    tc0 = jnp.take_along_axis(cnt, touched, axis=1)
-    tc1 = jnp.take_along_axis(cnt, N + touched, axis=1)
+    tc0 = jnp.maximum(
+        jnp.take_along_axis(cnt, touched, axis=1), 0.01)
+    tc1 = jnp.maximum(
+        jnp.take_along_axis(cnt, N + touched, axis=1), 0.01)
+    halve = jnp.maximum(tc0, tc1) > CNT_LIMIT
+    tc0 = jnp.where(halve, tc0 * 0.5, tc0)
+    tc1 = jnp.where(halve, tc1 * 0.5, tc1)
+    cnt = cnt.at[bar, touched].set(tc0)
+    cnt = cnt.at[bar, N + touched].set(tc1)
     p = p.at[bar, touched].set(_p_of(tc0, tc1))
     top = top + jnp.sum(do_clone, axis=1).astype(jnp.int32)
     return {"dmc_nxt": nxt, "dmc_cnt": cnt, "dmc_p": p, "dmc_cur": U[:, 7],
