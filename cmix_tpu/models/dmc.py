@@ -32,12 +32,20 @@ value v enters copy v>>4.
 import numpy as np
 import jax.numpy as jnp
 
+import os
+
 CLONE_TH1 = 2.0     # edge count needed to clone its target
 CLONE_TH2 = 2.0     # target's other evidence needed to make a clone worthwhile
 CNT_LIMIT = 255.0   # halve a node's counts past this (keeps ratios)
 INIT_CNT = 0.2
 N_COPIES = 16
 N_BASE = N_COPIES * 255
+# Tree levels DMC predicts (1..8).  The walk's per-element dynamic
+# gathers run on the scalar core (~12 ns/element), and the full 255-node
+# walk is the single most expensive model op at large batch; level L
+# covers 2^L - 1 nodes, so L=6 halves the cost and leaves the two
+# finest bit levels to the other models (p = 0.5 there).
+DMC_LEVELS = int(os.environ.get("DMC_LEVELS", "8"))
 
 
 def init_machine(n_nodes: int):
@@ -80,7 +88,7 @@ def predict_tree(pb):
     B, N = nxt.shape[0], p.shape[1]
     frontier = pb["dmc_cur"][:, None]                    # (B, 1): node 1
     all_states = [jnp.zeros((B, 1), jnp.int32), frontier]
-    for lev in range(1, 8):
+    for lev in range(1, min(DMC_LEVELS, 8)):
         # children of frontier nodes: tree ids 2n (bit 0), 2n+1 (bit 1)
         w = frontier.shape[1]
         idx = jnp.concatenate([frontier, N + frontier], axis=1)
@@ -88,8 +96,13 @@ def predict_tree(pb):
         frontier = jnp.stack([ch[:, :w], ch[:, w:]],
                              axis=2).reshape(B, 2 * w)
         all_states.append(frontier)                      # (B, 2^lev)
-    st = jnp.concatenate(all_states, axis=1)             # (B, 256)
-    return jnp.take_along_axis(p, st, axis=1)
+    st = jnp.concatenate(all_states, axis=1)             # (B, 2^L)
+    probs = jnp.take_along_axis(p, st, axis=1)
+    if probs.shape[1] < 256:                             # trimmed walk
+        probs = jnp.concatenate(
+            [probs, jnp.full((B, 256 - probs.shape[1]), 0.5,
+                             probs.dtype)], axis=1)
+    return probs
 
 
 def byte_update(pb, byte):
