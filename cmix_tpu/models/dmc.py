@@ -45,7 +45,7 @@ N_BASE = N_COPIES * 255
 # walk is the single most expensive model op at large batch; level L
 # covers 2^L - 1 nodes, so L=6 halves the cost and leaves the two
 # finest bit levels to the other models (p = 0.5 there).
-DMC_LEVELS = int(os.environ.get("DMC_LEVELS", "8"))
+DMC_LEVELS = int(os.environ.get("DMC_LEVELS", "6"))
 
 
 def init_machine(n_nodes: int):
