@@ -121,6 +121,11 @@ _SBANK_KIND_DEF = {14: 1}  # sparse col runs the run-length automaton
 SBANK_KIND = tuple(_SBANK_KIND_DEF.get(c, 0) for c in SBANK_COLS)
 # 0=nonstationary, 1=runmap
 SBANK_RATE = 0.02
+# SBANK_ADAPT=1: count-adaptive shared-state rate max(SBANK_RATE,
+# 1/(visits+2)) per (model, state) -- the reference statemap's
+# divisor-count adaption (src/states/nonstationary.cpp:24-29) applied
+# to the shared table, so fresh states converge fast on short inputs
+SBANK_ADAPT = int(os.environ.get("SBANK_ADAPT", "0"))
 # d12 arena layout: [0,256) order-1 | [256,256+65536) order-2 |
 # [+512) bracket byte model over (bracket id, capped distance)
 # (the reference's Bracket ByteModel, src/models/bracket.cpp:13-60,
@@ -227,7 +232,8 @@ APM_ROWS = 576 + 512 * APM2X
 # 1 replaces the learned blend with the fixed probability-domain
 # combiner st_fin = 0.4*st(p_mix) + 0.6*st(mean(pa1..3)) (diagnostic)
 APM_FIXED = int(os.environ.get("APM_FIXED", "0"))
-CNT_CAP = 60               # counter cap: floor adaptive rate ~ 1/62
+CNT_CAP = min(int(os.environ.get(
+    "CNT_CAP", "60")), 63)  # counter cap (6-bit slot field): rate >= 1/65.6
 POS_BITS = 24              # match table: low bits position, high bits block
 
 # per-model automaton transition tables + initial per-state probabilities
@@ -356,6 +362,8 @@ def init_shared(cfg: EngineConfig):
         # (cf. the reference's vocab bitmap, src/runner.cpp:44-51)
         "vocab_force": jnp.zeros(256, dtype=jnp.int32),
     }
+    if SBANK_ADAPT:
+        sh["sbank_c"] = jnp.zeros((N_SBANK, 256), dtype=jnp.float32)
     if cfg.lstm_hidden:
         sh["lstm"] = init_lstm_shared(_lstm_cfg(cfg))
     return sh
@@ -1033,19 +1041,32 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         s_ar[None, :, None], s8, t8_i].astype(jnp.int32)     # (B, NS, 8)
     pm = sh["sbank_p"][s_ar[None, :, None], s8]              # (B, NS, 8)
     errs = t8[:, None, :] - pm
+    if SBANK_ADAPT:
+        rate8 = jnp.maximum(SBANK_RATE, 1.0 / (sh["sbank_c"] + 2.0))[
+            s_ar[None, :, None], s8]                         # (B, NS, 8)
+    else:
+        rate8 = SBANK_RATE
     if STAT_NORM:
         sb_cnt = jnp.zeros_like(sh["sbank_p"]).at[
             s_ar[None, :, None], s8].add(1.0)
         sb_acc = jnp.zeros_like(sh["sbank_p"]).at[
-            s_ar[None, :, None], s8].add(SBANK_RATE * errs)
+            s_ar[None, :, None], s8].add(rate8 * errs)
         sh["sbank_p"] = jnp.clip(
             sh["sbank_p"] + sb_acc / jnp.maximum(sb_cnt, 1.0),
             1e-4, 1 - 1e-4)
+        if SBANK_ADAPT:
+            # one shared visit per step per state (batch-invariant)
+            sh["sbank_c"] = jnp.minimum(
+                sh["sbank_c"] + (sb_cnt > 0), 1024.0)
     else:
         sh["sbank_p"] = jnp.clip(
             sh["sbank_p"].at[s_ar[None, :, None], s8].add(
-                SBANK_RATE * errs),
+                rate8 * errs),
             1e-4, 1 - 1e-4)
+        if SBANK_ADAPT:
+            sh["sbank_c"] = jnp.minimum(
+                sh["sbank_c"].at[s_ar[None, :, None], s8].add(1.0),
+                1024.0)
     p_nxt = sh["sbank_p"][s_ar[None, :, None], nxt8]         # (B, NS, 8)
     st13 = jnp.clip(_stretch_f(p_nxt) * 256.0 + 4096.0,
                     0, 8191).astype(jnp.uint32)

@@ -25,7 +25,8 @@ def test_all_gates_roundtrip(tmp_path):
         "PYTHONPATH": "/root/repo",
         "MIX_AUX": "1", "MIX_DYN2": "1", "MIX_KIND": "1",
         "VMATCH": "1", "LMS": "1", "BANK_CH": "3", "WIKI": "1",
-        "PPM_EXCL": "1",
+        "PPM_EXCL": "1", "SBANK_ADAPT": "1", "X86X": "1",
+        "APM2X": "1",
     })
     r = subprocess.run(
         [sys.executable, "-m", "cmix_tpu.runner", "t", str(src),
