@@ -13,8 +13,10 @@ driving a binary arithmetic coder -- redesigned TPU-first:
   or decoded from the arithmetic-coder state.  This makes encode/decode
   numerics identical by construction -- the TPU answer to the reference's
   float-determinism caveat (/root/reference/README:16).
-* All probability math that feeds the coder is integer (12-bit stretch
-  domain, LUT squash/stretch), so XLA fusion cannot perturb results.
+* Table models carry quantized 12/13-bit probability/stretch fields in
+  packed integer slots; the mixer/APM stack is f32 with a pinned op
+  order.  Determinism contract: encode and decode run the same compiled
+  executable (platform + exec batch recorded in the archive header).
 * Throughput comes from batching independent blocks (vmap) and sharding them
   across chips/hosts with ``shard_map`` over a device mesh -- the
   parallelism axis the serial-per-bit format permits (SURVEY.md section 2.8).

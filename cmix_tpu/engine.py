@@ -70,178 +70,321 @@ MODE_DECODE = 1
 M32 = jnp.uint32(0xFFFFFFFF)
 U8 = jnp.uint32(8)
 
+# ---- format gates --------------------------------------------------------
+# Every knob below changes the ensemble wiring or its update rules and is
+# therefore FORMAT-DEFINING (the predictor is the format, like the
+# reference: src/predictor.cpp).  Each is env-overridable for
+# experiments; the runner records every non-default value in the archive
+# header (gates_blob) and a decode in a clean environment re-derives the
+# encoding ensemble via apply_gates -- so env drift can no longer desync
+# an archive.  (name, type, default); values are normalized strings.
+_GATE_SPEC = (
+    ("CMIX_N_IND", int, "4"),
+    ("WIKI", int, "1"),
+    ("X86X", int, "0"),
+    ("CMIX_MATCH_ORDERS", str, "5,8,12,20"),
+    ("CMIX_PPM_ORDERS", str, "1,2,3,4,6,8,12"),
+    ("PPM_EXCL", int, "0"),
+    ("PPM_UPD", int, "0"),
+    ("BANK_CK", int, "0"),
+    ("MIX_DYN3", int, "0"),
+    ("CMIX_SBANK_COLS", str, "0,1,2,3,5,7,10,14,24,36"),
+    ("SBANK_ADAPT", int, "0"),
+    ("VMATCH", int, "0"),
+    ("LMS", int, "0"),
+    ("BANK_CH", int, "1"),
+    ("MIX_DYN2", int, "0"),
+    ("MIX_KIND", int, "0"),
+    ("MIX_AUX", int, "0"),
+    ("MIX_LR", float, "4e-3"),
+    ("MIX_TAU", float, "0"),
+    ("MIX_BOOST", float, "0"),
+    ("MIX_BOOST_N", float, "256"),
+    ("W_APM_LEARN", int, "1"),
+    ("MIX_NORM", int, "1"),
+    ("STAT_NORM", int, "1"),
+    ("APM2X", int, "0"),
+    ("APM_FIXED", int, "0"),
+    ("CNT_CAP", int, "60"),
+    ("DMC_LEVELS", int, "6"),
+)
+GATES = {}          # live normalized gate values (str -> str)
+
+
+class FormatError(ValueError):
+    """Archive cannot be decoded by this build/configuration."""
+
+
+def _norm_gate(name, typ, raw):
+    if typ is int:
+        v = int(raw)
+        if name == "CNT_CAP":
+            v = max(1, min(v, 63))  # 6-bit slot field; rate >= 1/65.6
+        return str(v)
+    if typ is float:
+        return repr(float(raw))
+    return str(raw)
+
+
+def gates_blob() -> bytes:
+    """Canonical non-default gate settings, for the archive header."""
+    parts = []
+    for name, typ, dflt in _GATE_SPEC:
+        if GATES[name] != _norm_gate(name, typ, dflt):
+            parts.append(f"{name}={GATES[name]}")
+    return ";".join(parts).encode("ascii")
+
+
+def apply_gates(blob: bytes) -> bool:
+    """Re-derive the ensemble from an archive's gate record.
+
+    Returns True when the live ensemble changed (caller must drop any
+    cached compiled transcoders).  Unknown gate names mean the archive
+    came from a newer format: refuse with a clear error.
+    """
+    known = {name: (typ, dflt) for name, typ, dflt in _GATE_SPEC}
+    env = {}
+    for item in blob.decode("ascii").split(";") if blob else []:
+        if not item:
+            continue
+        name, _, val = item.partition("=")
+        if name not in known:
+            raise FormatError(
+                f"archive uses unknown model gate {name!r}; "
+                "it was written by a newer tpu-cmix build")
+        env[name] = val
+    if all(GATES.get(n) == _norm_gate(n, t, env.get(n, d))
+           for n, t, d in _GATE_SPEC):
+        return False
+    _derive(env)
+    return True
+
+
 # Double-indirect contexts (the reference instantiates 11 Indirect models
 # over IndirectHash history-of-hash contexts, src/predictor.cpp:166-178 +
 # src/contexts/indirect-hash.cpp): "what followed this context last time"
 # becomes itself a context.  Keys: order-2 bytes, order-1 byte, order-3
-# hash, current word hash.
-N_IND = int(os.environ.get("CMIX_N_IND", "4"))
-# Wiki/table stream contexts (fxcm's wiki table/column streams,
-# src/models/fxcmv1.cpp:2007-2147): previous-row column stream, cell
-# position, list/indent structure, column-crossed word.  Gated.
-WIKI = int(os.environ.get("WIKI", "1"))
-# X86X adds 2 opcode-stream contexts (prev-op bigram, opcode n-gram
-# hash) -- the exeModel's opcode-history class (contexts/x86.py)
-X86X = int(os.environ.get("X86X", "0"))
-N_BANK = 47 + N_IND + 4 * WIKI + 2 * X86X
-#                      25 ctx-hash + 4 record + 7 text + 4 x86
-#                      + 6 analog/xml + 2 line-grid + N_IND double-indirect
-MATCH_ORDERS = tuple(
-    int(o) for o in os.environ.get(
-        "CMIX_MATCH_ORDERS", "5,8,12,20").split(","))
-N_MATCH = len(MATCH_ORDERS)
-# PPM byte-distribution model: symbol-count tables per order, blended
-# highest-order-first with PPM-C escape estimation (capability class of
-# the reference's mod_ppmd, src/models/ppmd.cpp:956-1155 -- redesigned as
-# dense row gathers instead of a pointer suffix tree).
-PPM_ORDERS = tuple(
-    int(o) for o in os.environ.get(
-        "CMIX_PPM_ORDERS", "1,2,3,4,6,8,12").split(","))
-N_PPM = len(PPM_ORDERS)
+# hash, current word hash.  N_IND selects the first N.
+# WIKI: wiki/table stream contexts (fxcm's wiki table/column streams,
+# src/models/fxcmv1.cpp:2007-2147).  X86X: 2 opcode-stream contexts
+# (prev-op bigram, opcode n-gram hash; contexts/x86.py).
+# PPM: byte-distribution model -- symbol-count tables per order, blended
+# highest-order-first with learned SEE escape estimation (capability
+# class of the reference's mod_ppmd, src/models/ppmd.cpp:956-1155 --
+# redesigned as dense row gathers instead of a pointer suffix tree);
+# PPM_EXCL enables symbol exclusion.
 PPM_INC = 3               # count increment per observation
-PPM_EXCL = int(os.environ.get("PPM_EXCL", "0"))  # symbol exclusion
-# State-machine bank (the reference's Indirect models over bit-history
-# automata, src/models/indirect.cpp:16-31 + src/states/*): slots pack an
-# 8-bit automaton state WITH the st13 stretch of that state's learned
-# probability at write time ([0..7] state | [8..20] st13).  Packing the
-# stretch into the slot makes prediction a single row gather -- the
-# profiled alternative (a second per-element lookup of the shared
-# per-(model, state) table at all 256 tree nodes) was the single most
-# expensive op on the chip (~6 ms/step: tiny-table gathers lower to
-# scalar loops on TPU).  The cached stretch is at most one visit stale;
-# encode/decode share the executable so bit-exactness is unaffected.
-# Bank-base columns used as contexts, re-salted; last model runs the
-# run-length automaton (src/states/run-map.cpp), the rest the
-# nonstationary one (src/states/nonstationary.cpp).
-SBANK_COLS = tuple(
-    int(c) for c in os.environ.get(
-        "CMIX_SBANK_COLS", "0,1,2,3,5,7,10,14,24,36").split(","))
-N_SBANK = len(SBANK_COLS)  # default: ord 1-4,6,8, word, sparse, bracket, x86
-_SBANK_KIND_DEF = {14: 1}  # sparse col runs the run-length automaton
-SBANK_KIND = tuple(_SBANK_KIND_DEF.get(c, 0) for c in SBANK_COLS)
-# 0=nonstationary, 1=runmap
-SBANK_RATE = 0.02
-# SBANK_ADAPT=1: count-adaptive shared-state rate max(SBANK_RATE,
-# 1/(visits+2)) per (model, state) -- the reference statemap's
-# divisor-count adaption (src/states/nonstationary.cpp:24-29) applied
-# to the shared table, so fresh states converge fast on short inputs
-SBANK_ADAPT = int(os.environ.get("SBANK_ADAPT", "0"))
+
+
+def _derive(env):
+    """Set every gate-derived module global from `env` (a mapping of
+    gate name -> raw string; missing names take their defaults).  Called
+    once at import with os.environ, and again by apply_gates when a
+    decoded archive pins different gates."""
+    global N_IND, WIKI, X86X, N_BANK, MATCH_ORDERS, N_MATCH
+    global PPM_ORDERS, N_PPM, PPM_EXCL, PPM_UPD, BANK_CK, MIX_DYN3
+    global SBANK_COLS, N_SBANK, SBANK_KIND, SBANK_ADAPT
+    global VMATCH, LMS, BANK_CH, DMC_IDX, N_INPUTS
+    global MIX_DYN2, MIX_KIND, _MIX1_ROWS, N_MIX1, _MIX1_OFF, _MIX1_TOTAL
+    global MIX_AUX, M2IN, MIX_LR, MIX_TAU, MIX_BOOST, MIX_BOOST_N
+    global W_APM_LEARN, MIX_NORM, STAT_NORM, APM2X, N_APM, APM_ROWS
+    global APM_FIXED, CNT_CAP, _SBANK_NEXT, _SBANK_P0, GATES
+
+    GATES = {name: _norm_gate(name, typ, env.get(name, dflt))
+             for name, typ, dflt in _GATE_SPEC}
+
+    def gi(name):
+        return int(GATES[name])
+
+    def gf(name):
+        return float(GATES[name])
+
+    N_IND = gi("CMIX_N_IND")
+    WIKI = gi("WIKI")
+    X86X = gi("X86X")
+    N_BANK = 47 + N_IND + 4 * WIKI + 2 * X86X
+    #          25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
+    #          + 2 line-grid + N_IND double-indirect
+    MATCH_ORDERS = tuple(
+        int(o) for o in GATES["CMIX_MATCH_ORDERS"].split(","))
+    N_MATCH = len(MATCH_ORDERS)
+    PPM_ORDERS = tuple(
+        int(o) for o in GATES["CMIX_PPM_ORDERS"].split(","))
+    N_PPM = len(PPM_ORDERS)
+    PPM_EXCL = gi("PPM_EXCL")
+    # update exclusion (the rule that makes PPMD strong, ppmd.cpp
+    # update-walk): the coded byte's count is bumped only at orders >=
+    # the highest order that already contained it (all orders when the
+    # byte is novel everywhere) -- low orders stop double-counting
+    # symbols their suffix contexts already explain.
+    PPM_UPD = gi("PPM_UPD")
+    # BANK_CK: per-row 8-bit checksums on the hashed bank (capability
+    # of direct-hash.cpp:31-48 checksum probing, branchless): a row
+    # whose stored check byte mismatches the context's is treated as
+    # fresh at predict and REPLACED at update -- collisions stop
+    # aliasing unrelated contexts into one row.
+    BANK_CK = gi("BANK_CK")
+    # State-machine bank (the reference's Indirect models over
+    # bit-history automata, src/models/indirect.cpp:16-31 +
+    # src/states/*): slots pack an 8-bit automaton state WITH the st13
+    # stretch of that state's learned probability at write time
+    # ([0..7] state | [8..20] st13).  Packing the stretch into the slot
+    # makes prediction a single row gather -- the profiled alternative
+    # (a second per-element lookup of the shared per-(model, state)
+    # table at all 256 tree nodes) was the single most expensive op on
+    # the chip (~6 ms/step: tiny-table gathers lower to scalar loops on
+    # TPU).  The cached stretch is at most one visit stale;
+    # encode/decode share the executable so bit-exactness is unaffected.
+    # Bank-base columns used as contexts, re-salted; col 14 runs the
+    # run-length automaton (src/states/run-map.cpp), the rest the
+    # nonstationary one (src/states/nonstationary.cpp).
+    SBANK_COLS = tuple(
+        int(c) for c in GATES["CMIX_SBANK_COLS"].split(","))
+    N_SBANK = len(SBANK_COLS)  # default: ord 1-4,6,8, word, sparse,
+    #                            bracket, x86
+    _kind_def = {14: 1}  # sparse col runs the run-length automaton
+    SBANK_KIND = tuple(_kind_def.get(c, 0) for c in SBANK_COLS)
+    # 0=nonstationary, 1=runmap
+    # SBANK_ADAPT=1: count-adaptive shared-state rate max(SBANK_RATE,
+    # 1/(visits+2)) per (model, state) -- a paq-style count-adaptive
+    # StateMap rate layered on top of the reference's fixed-divisor
+    # indirect model (src/models/indirect.cpp:24), so fresh states
+    # converge fast on short inputs.  NB under STAT_NORM=0 (diagnostic
+    # path) visits increment per batch occurrence, not per step.
+    SBANK_ADAPT = gi("SBANK_ADAPT")
+    # vertical match: predict the previous line's byte at this column
+    # with learned per-prefix-length confidence (a match model whose
+    # cursor is the line above -- record/table analog of
+    # src/models/match.cpp)
+    VMATCH = gi("VMATCH")
+    # strided LMS predictor: adaptive linear prediction of the next byte
+    # from the bytes one..four records back (capability class of paq8's
+    # linearPredictionModel / audioModel LPC, src/models/paq8.cpp:4476,
+    # 5806-5869, generalized to the detected/forced record stride)
+    LMS = gi("LMS")
+    # Multi-channel bank outputs: the reference's ContextMap-class
+    # models emit SEVERAL mixer inputs per context (stretch,
+    # confidence-weighted stretch, maturity), not one
+    # (src/models/paq8.cpp ContextMap::mix emits ~5 per context;
+    # src/mixer/mixer-input.h).  BANK_CH widens each of the N_BANK
+    # hashed-context models from 1 to up to 3 channels:
+    #   ch1 st (existing), ch2 st*conf with conf=cnt/(cnt+2) (mature
+    #   rows speak louder), ch3 2*conf-1 (maturity itself,
+    #   direction-free -- lets the mixer gate models by how much data
+    #   their row has seen).
+    # Channels 2+ are APPENDED after all existing inputs so input
+    # indices stay stable across gate settings.
+    BANK_CH = gi("BANK_CH")
+    DMC_IDX = N_BANK + 4 + N_MATCH + 2 + N_SBANK  # dmc channel pos in x
+    N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH
+                + LMS + (BANK_CH - 1) * N_BANK)
+    # bank + (d0+d1+d2+brk) + match + lstm + ppm + state bank + dmc
+
+    # layer-1 mixer gate rows: const, level, last byte, order-2 bits,
+    # longest-match, word byte, class register, line position, bracket,
+    # record, x86; MIX_DYN2 appends 4 more gates (line-grid above byte,
+    # 2nd-last byte, wordlen+coarse class, xml tag) toward the
+    # reference's 26-mixer layer 0 (src/predictor.cpp:184-328)
+    MIX_DYN2 = gi("MIX_DYN2")
+    # MIX_KIND appends a content-kind gate: the block's detected segment
+    # type (raw/text/exe/img24/img8/audio/jpeg, from the archive's
+    # segment table) crossed with the top class-register bits selects
+    # one of 8x8 weight rows -- filetype-routed mixing, the capability
+    # class of paq8's contextModel2 filetype-gated mixer selectors
+    # (src/models/paq8.cpp:8101-8206), driven by the host-side detector
+    # instead of in-model re-detection.
+    MIX_KIND = gi("MIX_KIND")
+    # MIX_DYN3 appends 5 further gates (order-3 hash, strongest-match
+    # expected byte, PPM top-order confidence bucket, previous-word
+    # hash, analog delta pair), continuing toward the reference's
+    # 26-mixer layer 0 (src/predictor.cpp:184-328)
+    MIX_DYN3 = gi("MIX_DYN3")
+    _MIX1_ROWS = np.array(
+        [1, 8, 256, 1024, 64, 256, 256, 64, 512, 128, 64]
+        + ([257, 256, 64, 256] if MIX_DYN2 else [])
+        + ([2048, 257, 32, 256, 256] if MIX_DYN3 else [])
+        + ([64] if MIX_KIND else []), dtype=np.int64)
+    N_MIX1 = len(_MIX1_ROWS)
+    _MIX1_OFF = np.concatenate(
+        [[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
+    _MIX1_TOTAL = int(_MIX1_ROWS.sum())
+    # layer-2 mixer input width: layer-1 outputs + optional raw aux taps
+    # (LSTM, PPM, DMC stretches -- the reference's auxiliary inputs,
+    # src/predictor.cpp:72-75,388-406)
+    MIX_AUX = gi("MIX_AUX")
+    M2IN = N_MIX1 + (3 if MIX_AUX else 0)
+
+    MIX_LR = gf("MIX_LR")   # mixer LR at t=0
+    MIX_TAU = gf("MIX_TAU")
+    #                        LR decay: lr(t) = MIX_LR*rsqrt(1+t/TAU);
+    #                        0 disables (cf. the reference's decayed
+    #                        mixer rate, src/mixer/mixer.cpp:56-63)
+    # Per-row adaptive LR warmup for the context-gated layer-1 mixers: a
+    # row seen cnt times learns at lr*(1 + MIX_BOOST*N/(cnt+N)) -- fresh
+    # contexts adapt fast, mature ones settle (capability class of the
+    # reference's count-decayed mixer rate, src/mixer/mixer.cpp:56-63,
+    # re-keyed per weight row instead of per stream).  MIX_BOOST=0
+    # disables.
+    MIX_BOOST = gf("MIX_BOOST")
+    MIX_BOOST_N = gf("MIX_BOOST_N")
+    # 0 freezes the final (mixer, apm1..3) blend at its init constants
+    # (diagnostic/sweep knob for the learned match-gated blend)
+    W_APM_LEARN = gi("W_APM_LEARN")
+    # 1 makes ALL mixer updates batch-invariant (per-row mean instead of
+    # sum over the B blocks hitting a weight row each step) -- the same
+    # semantics the final blend uses after its instability fix.  The
+    # summed form couples the effective learning rate to the batch size;
+    # sweep MIX_LR upward when enabling this.
+    MIX_NORM = gi("MIX_NORM")
+    # 1 likewise normalizes the shared model-statistic updates (d0,
+    # state bank probabilities, PPM SEE, match/vmatch/lms confidences):
+    # their rates were chosen for per-stream sequential updates, but the
+    # batched sum delivers up to B x 8 aggregated deltas to one shared
+    # row per step (at B=256 they pin against their clip bounds and
+    # oscillate).
+    STAT_NORM = gi("STAT_NORM")
+    # APM2X adds two more SSE tables -- word-gated and line/class-gated
+    # -- extending the APM chain toward the reference's deeper SSE
+    # stacks (fxcm's 6-APM chain, src/models/fxcmv1.cpp:4630-4833;
+    # paq8's filetype APM chains, src/models/paq8.cpp:8208-8362)
+    APM2X = gi("APM2X")
+    N_APM = 3 + 2 * APM2X
+    APM_ROWS = 576 + 512 * APM2X
+    # 1 replaces the learned blend with the fixed probability-domain
+    # combiner st_fin = 0.4*st(p_mix) + 0.6*st(mean(pa1..3)) (diagnostic)
+    APM_FIXED = gi("APM_FIXED")
+    CNT_CAP = gi("CNT_CAP")  # counter cap (6-bit slot field)
+    dmc.DMC_LEVELS = gi("DMC_LEVELS")
+
+    # per-model automaton transitions + initial per-state probabilities
+    _SBANK_NEXT = np.stack(
+        [RUN_NEXT if k else NS_NEXT for k in SBANK_KIND])  # (NS,256,2) u8
+    _SBANK_P0 = np.stack(
+        [(RUN_INIT_P12 if k else NS_INIT_P12).astype(np.float32) / 4096.0
+         for k in SBANK_KIND])                             # (NS, 256)
+
+
 # d12 arena layout: [0,256) order-1 | [256,256+65536) order-2 |
 # [+512) bracket byte model over (bracket id, capped distance)
 # (the reference's Bracket ByteModel, src/models/bracket.cpp:13-60,
 # as learned next-byte stats per bracket state)
 D12_BRK = 256 + 65536
 D12_ROWS = D12_BRK + 512
-# vertical match: predict the previous line's byte at this column with
-# learned per-prefix-length confidence (a match model whose cursor is
-# the line above -- record/table analog of src/models/match.cpp)
-VMATCH = int(os.environ.get("VMATCH", "0"))
-# strided LMS predictor: adaptive linear prediction of the next byte
-# from the bytes one..four records back (capability class of paq8's
-# linearPredictionModel / audioModel LPC, src/models/paq8.cpp:4476,
-# 5806-5869, generalized to the detected/forced record stride)
-LMS = int(os.environ.get("LMS", "0"))
 LMS_K = 4
 LMS_MU = 0.002
-# Multi-channel bank outputs: the reference's ContextMap-class models
-# emit SEVERAL mixer inputs per context (stretch, confidence-weighted
-# stretch, maturity), not one (src/models/paq8.cpp ContextMap::mix
-# emits ~5 per context; src/mixer/mixer-input.h).  BANK_CH widens each
-# of the N_BANK hashed-context models from 1 to up to 3 channels:
-#   ch1 st (existing), ch2 st*conf with conf=cnt/(cnt+2) (mature rows
-#   speak louder), ch3 2*conf-1 (maturity itself, direction-free --
-#   lets the mixer gate models by how much data their row has seen).
-# Channels 2+ are APPENDED after all existing inputs so input indices
-# stay stable across gate settings.
-BANK_CH = int(os.environ.get("BANK_CH", "1"))
-DMC_IDX = N_BANK + 4 + N_MATCH + 2 + N_SBANK   # dmc channel position in x
-N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH + LMS
-            + (BANK_CH - 1) * N_BANK)
-# bank + (d0+d1+d2+brk) + match x4 + lstm + ppm + state bank + dmc
+SBANK_RATE = 0.02
 # PPM SEE buckets: escape probability learned per
 # (order, distinct-symbols bucket, log2-total bucket) -- the capability
 # class of mod_ppmd's SEE2 contexts (src/models/ppmd.cpp:956-1109)
 SEE_DIST_B = 16
 SEE_TOT_B = 8
 SEE_RATE = 0.02
-
-# layer-1 mixer gate rows: const, level, last byte, order-2 bits,
-# longest-match, word byte, class register, line position, bracket,
-# record, x86; MIX_DYN2 appends 4 more gates (line-grid above byte,
-# 2nd-last byte, wordlen+coarse class, xml tag) toward the reference's
-# 26-mixer layer 0 (src/predictor.cpp:184-328)
-MIX_DYN2 = int(os.environ.get("MIX_DYN2", "0"))
-# MIX_KIND appends a content-kind gate: the block's detected segment
-# type (raw/text/exe/img24/img8/audio/jpeg, from the archive's segment
-# table) crossed with the top class-register bits selects one of 8x8
-# weight rows -- filetype-routed mixing, the capability class of paq8's
-# contextModel2 filetype-gated mixer selectors (src/models/paq8.cpp:
-# 8101-8206), driven by the host-side detector instead of in-model
-# re-detection.
-MIX_KIND = int(os.environ.get("MIX_KIND", "0"))
-_MIX1_ROWS = np.array(
-    [1, 8, 256, 1024, 64, 256, 256, 64, 512, 128, 64]
-    + ([257, 256, 64, 256] if MIX_DYN2 else [])
-    + ([64] if MIX_KIND else []), dtype=np.int64)
-N_MIX1 = len(_MIX1_ROWS)
-_MIX1_OFF = np.concatenate([[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
-_MIX1_TOTAL = int(_MIX1_ROWS.sum())
-# layer-2 mixer input width: layer-1 outputs + optional raw aux taps
-# (LSTM, PPM, DMC stretches -- the reference's auxiliary inputs,
-# src/predictor.cpp:72-75,388-406)
-MIX_AUX = int(os.environ.get("MIX_AUX", "0"))
-M2IN = N_MIX1 + (3 if MIX_AUX else 0)
-
 ST_CLAMP = 12.0            # stretch clamp: p in [6e-6, 1-6e-6]
 _SLOT_INIT = (4096 << 18) | (2048 << 6)   # p=0.5, st=0, cnt=0
-MIX_LR = float(os.environ.get("MIX_LR", "4e-3"))  # mixer LR at t=0
-MIX_TAU = float(os.environ.get("MIX_TAU", "0"))
-#                            LR decay: lr(t) = MIX_LR*rsqrt(1+t/TAU);
-#                            0 disables (cf. the reference's decayed
-#                            mixer rate, src/mixer/mixer.cpp:56-63)
 APM_RATE = 0.02            # SSE node update rate
-# Per-row adaptive LR warmup for the context-gated layer-1 mixers: a row
-# seen cnt times learns at lr*(1 + MIX_BOOST*N/(cnt+N)) -- fresh contexts
-# adapt fast, mature ones settle (capability class of the reference's
-# count-decayed mixer rate, src/mixer/mixer.cpp:56-63, re-keyed per
-# weight row instead of per stream).  MIX_BOOST=0 disables.
-MIX_BOOST = float(os.environ.get("MIX_BOOST", "0"))
-MIX_BOOST_N = float(os.environ.get("MIX_BOOST_N", "256"))
-# 0 freezes the final (mixer, apm1..3) blend at its init constants
-# (diagnostic/sweep knob for the learned match-gated blend)
-W_APM_LEARN = int(os.environ.get("W_APM_LEARN", "1"))
-# 1 makes ALL mixer updates batch-invariant (per-row mean instead of
-# sum over the B blocks hitting a weight row each step) -- the same
-# semantics the final blend uses after its instability fix.  The
-# summed form couples the effective learning rate to the batch size;
-# sweep MIX_LR upward when enabling this.
-MIX_NORM = int(os.environ.get("MIX_NORM", "1"))
-# 1 likewise normalizes the shared model-statistic updates (d0, state
-# bank probabilities, PPM SEE, match/vmatch/lms confidences): their
-# rates were chosen for per-stream sequential updates, but the batched
-# sum delivers up to B x 8 aggregated deltas to one shared row per step
-# (at B=256 they pin against their clip bounds and oscillate).
-STAT_NORM = int(os.environ.get("STAT_NORM", "1"))
-# APM2X adds two more SSE tables -- word-gated and line/class-gated --
-# extending the APM chain toward the reference's deeper SSE stacks
-# (fxcm's 6-APM chain, src/models/fxcmv1.cpp:4630-4833; paq8's
-# filetype APM chains, src/models/paq8.cpp:8208-8362)
-APM2X = int(os.environ.get("APM2X", "0"))
-N_APM = 3 + 2 * APM2X
-APM_ROWS = 576 + 512 * APM2X
-# 1 replaces the learned blend with the fixed probability-domain
-# combiner st_fin = 0.4*st(p_mix) + 0.6*st(mean(pa1..3)) (diagnostic)
-APM_FIXED = int(os.environ.get("APM_FIXED", "0"))
-CNT_CAP = min(int(os.environ.get(
-    "CNT_CAP", "60")), 63)  # counter cap (6-bit slot field): rate >= 1/65.6
 POS_BITS = 24              # match table: low bits position, high bits block
 
-# per-model automaton transition tables + initial per-state probabilities
-_SBANK_NEXT = np.stack(
-    [RUN_NEXT if k else NS_NEXT for k in SBANK_KIND])   # (NS, 256, 2) u8
-_SBANK_P0 = np.stack(
-    [(RUN_INIT_P12 if k else NS_INIT_P12).astype(np.float32) / 4096.0
-     for k in SBANK_KIND])                              # (NS, 256)
+_derive(os.environ)
 
 
 def _st13_np(p):
@@ -335,17 +478,25 @@ def init_shared(cfg: EngineConfig):
                         )[:, None, None],
             (N_SBANK, cfg.rows, 256)),
         "sbank_p": jnp.asarray(_SBANK_P0),
-        "w1": jnp.full((_MIX1_TOTAL, N_INPUTS), 1.0 / N_INPUTS,
-                       dtype=jnp.float32),
+        # Mixer init: primary inputs (model stretches, true votes) start
+        # at 1/n_primary so the initial mix is their average, like the
+        # reference's averaging start; AUXILIARY channels (BANK_CH
+        # maturity/confidence channels, MIX_AUX raw taps) start at 0 --
+        # they are not votes, and a 1/N init both shifts the initial
+        # prediction (maturity is ~-1 early) and dilutes the real
+        # votes.  Round 1 measured BANK_CH/MIX_AUX as losses under the
+        # uniform init (VERDICT.md Weak #4); this is the conditioning
+        # fix.
+        "w1": jnp.tile(_w1_init_row()[None], (_MIX1_TOTAL, 1)),
         "w1_cnt": jnp.zeros(_MIX1_TOTAL, dtype=jnp.float32),
         "bias1": jnp.zeros((N_MIX1, 256), dtype=jnp.float32),
         # layer-2: three context-gated mixers over the layer-1 outputs
         # (level / last byte / byte-class gates), then a level-gated
         # layer-3 combiner -- the reference's 26->20->1 mixer tree
         # (src/predictor.cpp:330-356) collapsed to 10->3->1
-        "w2": jnp.full((8, M2IN), 1.0 / M2IN, dtype=jnp.float32),
-        "w2b": jnp.full((256, M2IN), 1.0 / M2IN, dtype=jnp.float32),
-        "w2c": jnp.full((64, M2IN), 1.0 / M2IN, dtype=jnp.float32),
+        "w2": jnp.tile(_w2_init_row()[None], (8, 1)),
+        "w2b": jnp.tile(_w2_init_row()[None], (256, 1)),
+        "w2c": jnp.tile(_w2_init_row()[None], (64, 1)),
         "bias2": jnp.zeros((3, 256), dtype=jnp.float32),
         "w3": jnp.full((8, 3), 1.0 / 3.0, dtype=jnp.float32),
         "bias3": jnp.zeros(256, dtype=jnp.float32),
@@ -362,6 +513,10 @@ def init_shared(cfg: EngineConfig):
         # (cf. the reference's vocab bitmap, src/runner.cpp:44-51)
         "vocab_force": jnp.zeros(256, dtype=jnp.int32),
     }
+    if BANK_CK:
+        # per-row check bytes; 256 = virgin (matches no context's check,
+        # so untouched rows read as fresh)
+        sh["bank_ck"] = jnp.full((N_BANK, cfg.rows), 256, dtype=jnp.int32)
     if SBANK_ADAPT:
         sh["sbank_c"] = jnp.zeros((N_SBANK, 256), dtype=jnp.float32)
     if cfg.lstm_hidden:
@@ -402,6 +557,19 @@ def init_perblock(cfg: EngineConfig):
     if cfg.dmc_nodes:
         pb.update(dmc.init_dmc_perblock(cfg.dmc_nodes))
     return pb
+
+
+def _w1_init_row():
+    n_primary = N_INPUTS - (BANK_CH - 1) * N_BANK
+    return jnp.concatenate([
+        jnp.full(n_primary, 1.0 / n_primary, jnp.float32),
+        jnp.zeros(N_INPUTS - n_primary, jnp.float32)])
+
+
+def _w2_init_row():
+    return jnp.concatenate([
+        jnp.full(N_MIX1, 1.0 / N_MIX1, jnp.float32),
+        jnp.zeros(M2IN - N_MIX1, jnp.float32)])
 
 
 def _apm_row():
@@ -624,6 +792,29 @@ def _coder_bit_b(cd, comp, enc_bit, p16, mode):
 # ----------------------------------------------------------- tree predictor
 
 
+def _dyn3_gates(cs, pb, exp_byte, pdst, ptot):
+    """The MIX_DYN3 layer-1 gate values (see _derive): order-3 hash,
+    strongest-match expected byte, PPM top-order confidence bucket,
+    previous-word hash, analog delta pair."""
+    l4 = cs["last4"]
+    b1u = l4 & jnp.uint32(0xFF)
+    b2u = (l4 >> U8) & jnp.uint32(0xFF)
+    b3u = (l4 >> jnp.uint32(16)) & jnp.uint32(0xFF)
+    sm = jnp.argmax(pb["match_len"], axis=1)                 # (B,)
+    smb = jnp.take_along_axis(exp_byte, sm[:, None], axis=1)[:, 0]
+    has = jnp.max(pb["match_len"], axis=1) > 0
+    return [
+        ((cs["ohash"][:, 3] >> jnp.uint32(20))
+         & jnp.uint32(2047)).astype(jnp.int32),
+        jnp.where(has, smb + 1, 0).astype(jnp.int32),
+        (jnp.minimum(pdst[:, -1], 15.0)
+         + 16.0 * (ptot[:, -1] > 0)).astype(jnp.int32),
+        (cs["last_word"] & jnp.uint32(0xFF)).astype(jnp.int32),
+        (_qdelta(b1u, b2u)
+         | (_qdelta(b2u, b3u) << jnp.uint32(4))).astype(jnp.int32),
+    ]
+
+
 def _predict_tree_b(cfg, sh, pb, t):
     """Predictions for all 256 tree nodes of the current byte, batched.
 
@@ -643,6 +834,15 @@ def _predict_tree_b(cfg, sh, pb, t):
     rowi = ((bases >> U8) & rmask).astype(jnp.int32)         # (B, NM)
     m_ar = jnp.arange(N_BANK)
     rows = sh["bank"][m_ar[None, :], rowi]                   # (B, NM, 256)
+    ck_exp = None
+    if BANK_CK:
+        # row checksum from the hash bits below the row index: a
+        # mismatched row belongs to a different context -- read it as
+        # fresh and let the update replace it (branchless equivalent of
+        # direct-hash.cpp:31-48 probing/reset)
+        ck_exp = (bases & jnp.uint32(0xFF)).astype(jnp.int32)
+        ck_ok = sh["bank_ck"][m_ar[None, :], rowi] == ck_exp
+        rows = jnp.where(ck_ok[:, :, None], rows, jnp.uint32(_SLOT_INIT))
     st_bank = ((rows >> jnp.uint32(18)).astype(jnp.float32)
                - 4096.0) * (1.0 / 256.0)                     # (B, NM, 256)
 
@@ -834,7 +1034,8 @@ def _predict_tree_b(cfg, sh, pb, t):
         (jnp.minimum(cs["wordlen"], jnp.uint32(15)) * 4
          + (cs["cls2reg"] & jnp.uint32(3))).astype(jnp.int32),
         (cs["tag"] & jnp.uint32(0xFF)).astype(jnp.int32),
-    ] if MIX_DYN2 else []) + ([
+    ] if MIX_DYN2 else []) + (_dyn3_gates(cs, pb, exp_byte, pdst, ptot)
+                              if MIX_DYN3 else []) + ([
         jnp.clip(pb["blk_kind"], 0, 7) * 8
         + (cs["cls2reg"] & jnp.uint32(7)).astype(jnp.int32),
     ] if MIX_KIND else []), axis=1) \
@@ -916,7 +1117,7 @@ def _predict_tree_b(cfg, sh, pb, t):
         st_fin = jnp.einsum("bj,bjk->bk", wa, st_in)
     p_tree = _squash_f(st_fin)                               # (B, 256)
 
-    aux = dict(rowi=rowi, rows=rows, b1=b1, d12_idx=d12_idx,
+    aux = dict(rowi=rowi, rows=rows, ck_exp=ck_exp, b1=b1, d12_idx=d12_idx,
                prowi=prowi, ppm_rows=ppm_rows, pcnt_eff=pcnt,
                srowi=srowi, srows=srows,
                see_d=see_d, see_t=see_t, see_p=see_p, ptot=ptot,
@@ -970,6 +1171,9 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
                         aux["rows"])
     m_ar = jnp.arange(N_BANK)
     sh["bank"] = sh["bank"].at[m_ar[None, :], aux["rowi"]].set(newrows)
+    if BANK_CK:
+        sh["bank_ck"] = sh["bank_ck"].at[
+            m_ar[None, :], aux["rowi"]].set(aux["ck_exp"])
 
     # ---- d0: aggregated dense update (shared order-0 stats)
     c0 = sh["d0_c"]
@@ -994,12 +1198,23 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     # rescale semantics: halving preserves ratios, decays old evidence)
     obs = jnp.take_along_axis(
         aux["ppm_rows"], byte[:, None, None], axis=2)        # (B, NP, 1)
-    needs_halve = obs >= jnp.uint8(256 - PPM_INC)
+    if PPM_UPD:
+        # update exclusion: bump only orders >= the highest order that
+        # already contained the byte (all orders when it is novel) --
+        # see the PPM_UPD note in _derive
+        seen = obs[:, :, 0] > 0                              # (B, NP)
+        rev = seen[:, ::-1].astype(jnp.int32)                # high 1st
+        above = (jnp.cumsum(rev, axis=1) - rev) > 0
+        upd = (~above[:, ::-1])[:, :, None]                  # (B, NP, 1)
+    else:
+        upd = jnp.bool_(True)
+    needs_halve = (obs >= jnp.uint8(256 - PPM_INC)) & upd
     prow_new = jnp.where(needs_halve, aux["ppm_rows"] >> jnp.uint8(1),
                          aux["ppm_rows"])
     byte_oh = (jnp.asarray(_NODE)[None, None, :]
                == byte[:, None, None]).astype(jnp.uint8)
-    prow_new = prow_new + byte_oh * jnp.uint8(PPM_INC)
+    prow_new = prow_new + byte_oh * jnp.where(
+        upd, jnp.uint8(PPM_INC), jnp.uint8(0))
     p_ar = jnp.arange(N_PPM)
     sh["ppm"] = sh["ppm"].at[p_ar[None, :], aux["prowi"]].set(prow_new)
 

@@ -243,21 +243,48 @@ def exe_decode(data: bytes) -> bytes:
     return out.raw[:n] if n >= 0 else data
 
 
+def _sext25(v):
+    v &= 0x1FFFFFF
+    return v - 0x2000000 if v & 0x1000000 else v
+
+
+def _exe_cond(out, j, n):
+    if j + 4 >= n or out[j + 4] not in (0x00, 0xFF):
+        return False
+    return (out[j] in (0xE8, 0xE9)
+            or (j >= 1 and out[j - 1] == 0x0F and out[j] & 0xF0 == 0x80))
+
+
 def _exe_py(data: bytes, enc: bool) -> bytes:
-    import struct as _st
+    """Bit-identical Python twin of the native transform (see
+    native/preproc.cpp exe_encode/exe_decode).  The condition -- top
+    operand byte in {0x00, 0xFF} -- is invariant under the mod-2^25
+    sign-extended absolutization, so encode and decode always agree on
+    which operands were transformed (no 16 MB limit, no |rel|~2^24
+    asymmetry); backward encode + forward decode invert overlapping
+    matches LIFO."""
     out = bytearray(data)
     n = len(data)
-    i = 0
-    while i + 4 < n:
-        if data[i] in (0xE8, 0xE9):
-            v = _st.unpack_from("<i", data, i + 1)[0]
-            y = v if enc else v - i
-            if -(1 << 24) < y < (1 << 24):
-                _st.pack_into("<i", out, i + 1,
-                              (v + i) if enc else (v - i))
-                i += 5
-                continue
-        i += 1
+    rng = range(n - 5, -1, -1) if enc else range(0, max(n - 4, 0))
+    for j in rng:
+        if not _exe_cond(out, j, n):
+            continue
+        if enc:
+            rel = (out[j + 1] | out[j + 2] << 8 | out[j + 3] << 16
+                   | out[j + 4] << 24)
+            a = _sext25(rel + j + 5)
+            out[j + 1] = (a & 0xFF) ^ 0xB0
+            out[j + 2] = ((a >> 8) & 0xFF) ^ 0xB0
+            out[j + 3] = ((a >> 16) & 0xFF) ^ 0xB0
+            out[j + 4] = (a >> 24) & 0xFF
+        else:
+            a = ((out[j + 1] ^ 0xB0) | (out[j + 2] ^ 0xB0) << 8
+                 | (out[j + 3] ^ 0xB0) << 16 | out[j + 4] << 24)
+            rel = _sext25(a - j - 5)
+            out[j + 1] = rel & 0xFF
+            out[j + 2] = (rel >> 8) & 0xFF
+            out[j + 3] = (rel >> 16) & 0xFF
+            out[j + 4] = (rel >> 24) & 0xFF
     return bytes(out)
 
 

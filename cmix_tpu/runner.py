@@ -10,10 +10,12 @@ TPU-first difference: the input is split into fixed-size blocks compressed
 *in parallel* as a batch (the reference is strictly single-stream), and the
 pretrained state is computed once, cached, and broadcast to every block.
 
-Archive format v2:
+Archive format v3:
   magic 'TCMX' | u8 version | u8 flags | u8 log2(block_size) | u8 tbits
   | u8 mbits | u8 ibits | u16 lstm_hidden | u16 exec_batch | u64 orig_len
-  | u64 payload_len | u32 n_blocks | 8s dict_fingerprint
+  | u64 payload_len | u32 n_blocks | 8s dict_fingerprint | 32s vocab
+  | u16 gates_len | gates (canonical non-default model-gate record:
+  engine.gates_blob; decode re-derives the encoding ensemble from it)
   | n_blocks * u32 comp_len   (high bit set => block stored raw)
   | concatenated block streams
 flags: bit0 = segmented preprocessing applied (per-segment WRT/EXE/media
@@ -73,9 +75,10 @@ def _vocab_force(bitmap: bytes):
     return force
 
 from cmix_tpu.version import FORMAT_VERSION, MAGIC
+from cmix_tpu import engine
 from cmix_tpu.engine import (
     EngineConfig, init_shared, init_perblock, make_transcoder,
-    MODE_ENCODE, MODE_DECODE)
+    MODE_ENCODE, MODE_DECODE, FormatError)
 
 _RAW_FLAG = 0x80000000
 _FLAG_WRT = 1
@@ -274,12 +277,14 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         if resume_path is not None:
             _resume_save(resume_path, rkey, streams)
 
+    gates = engine.gates_blob()
     header = MAGIC + struct.pack(
         _HDR, FORMAT_VERSION, flags, cfg.block_size.bit_length() - 1,
         cfg.tbits, cfg.mbits, cfg.ibits, cfg.pbits,
         cfg.dmc_nodes.bit_length() - 1 if cfg.dmc_nodes else 0,
         cfg.lstm_layers, cfg.lstm_horizon,
-        cfg.lstm_hidden, eb, len(data), len(payload), nb, fp, vocab)
+        cfg.lstm_hidden, eb, len(data), len(payload), nb, fp, vocab) \
+        + struct.pack("<H", len(gates)) + gates
     segtbl = b""
     if flags & _FLAG_WRT:
         parts = [struct.pack("<I", len(seg_meta))]
@@ -303,11 +308,42 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
 def decompress(archive: bytes, max_batch: int = 64,
                dictionary: str = None, meter=None,
                show_progress=False) -> bytes:
-    assert archive[:4] == MAGIC, "bad magic"
+    """Decode a TCMX archive.
+
+    The archive's model-gate record is applied for the duration of the
+    decode (the ensemble that coded the stream is part of the format);
+    the process's own gates are restored afterwards.  Malformed input
+    raises FormatError instead of failing late in the model."""
+    if len(archive) < 4 + _HDR_LEN + 2:
+        raise FormatError("truncated archive (shorter than the header)")
+    if archive[:4] != MAGIC:
+        raise FormatError("bad magic: not a TCMX archive")
+    hdr = struct.unpack(_HDR, archive[4:4 + _HDR_LEN])
+    if hdr[0] != FORMAT_VERSION:
+        raise FormatError(
+            f"archive format version {hdr[0]}; this build reads only "
+            f"{FORMAT_VERSION} (the predictor is the format)")
+    off = 4 + _HDR_LEN
+    (glen,) = struct.unpack("<H", archive[off:off + 2])
+    gates = archive[off + 2:off + 2 + glen]
+    if len(gates) != glen:
+        raise FormatError("truncated archive (gate record)")
+    prev_gates = engine.gates_blob()
+    if engine.apply_gates(gates):
+        _TRANSCODER_CACHE.clear()
+    try:
+        return _decompress_body(archive, hdr, off + 2 + glen, max_batch,
+                                dictionary, meter, show_progress)
+    finally:
+        if engine.apply_gates(prev_gates):
+            _TRANSCODER_CACHE.clear()
+
+
+def _decompress_body(archive, hdr, off, max_batch, dictionary, meter,
+                     show_progress):
     (ver, flags, log_bs, tbits, mbits, ibits, pbits, dmc_log, lstm_layers,
      lstm_horizon, lstm_hidden, eb, orig_len, payload_len, nb, fp,
-     vocab) = struct.unpack(_HDR, archive[4:4 + _HDR_LEN])
-    assert ver == FORMAT_VERSION, f"format version {ver} unsupported"
+     vocab) = hdr
     cfg = EngineConfig(block_size=1 << log_bs, tbits=tbits, mbits=mbits,
                        ibits=ibits, pbits=pbits, lstm_hidden=lstm_hidden,
                        lstm_layers=lstm_layers, lstm_horizon=lstm_horizon,
@@ -315,13 +351,15 @@ def decompress(archive: bytes, max_batch: int = 64,
     d, dict_bytes, fp2 = _load_dictionary(dictionary)
     base = None
     if flags & _FLAG_PRETRAIN:
-        assert d is not None, "archive requires the dictionary it was " \
-            "compressed with (pass dictionary=...)"
-        assert fp == fp2, "dictionary fingerprint mismatch"
-    if flags & _FLAG_PRETRAIN:
+        if d is None:
+            raise FormatError(
+                "archive requires the dictionary it was compressed with "
+                "(pass dictionary=...)")
+        if fp != fp2:
+            raise FormatError("dictionary fingerprint mismatch: not the "
+                              "dictionary this archive was coded with")
         base = _pretrained_base(cfg, dict_bytes)
 
-    off = 4 + _HDR_LEN
     seg_meta = None
     if flags & _FLAG_WRT:
         (nseg,) = struct.unpack("<I", archive[off:off + 4])
@@ -347,6 +385,9 @@ def decompress(archive: bytes, max_batch: int = 64,
         L &= ~_RAW_FLAG
         streams.append((raw, archive[off:off + L]))
         off += L
+    if off > len(archive):
+        raise FormatError("truncated archive (block streams end at "
+                          f"{off}, archive is {len(archive)} bytes)")
 
     trans = get_transcoder(cfg)
     n = cfg.block_size
@@ -396,8 +437,10 @@ def decompress(archive: bytes, max_batch: int = 64,
     if flags & _FLAG_WRT:
         from cmix_tpu.preprocess.wrt import untransform
         payload = untransform(payload, seg_meta, d)
-    assert len(payload) == orig_len, \
-        f"decoded length {len(payload)} != {orig_len}"
+    if len(payload) != orig_len:
+        raise FormatError(
+            f"decoded length {len(payload)} != {orig_len} (corrupt "
+            "archive, or it was coded by a different executable)")
     return payload
 
 

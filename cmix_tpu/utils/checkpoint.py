@@ -43,10 +43,12 @@ def load_state(path, like):
 
 def pretrain_cache_key(cfg, dict_bytes):
     from cmix_tpu.version import FORMAT_VERSION
-    from cmix_tpu.engine import init_shared
+    from cmix_tpu.engine import init_shared, gates_blob
     h = hashlib.sha256()
     h.update(str(FORMAT_VERSION).encode())
     h.update(repr(cfg).encode())
+    # gates change update rules without necessarily changing shapes
+    h.update(gates_blob())
     # bind the key to the actual state structure so any ensemble change
     # invalidates cached pretrained states
     for path, leaf in jax.tree_util.tree_flatten_with_path(

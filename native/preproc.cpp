@@ -198,24 +198,44 @@ void detect_chunks(const uint8_t* in, int64_t n, int64_t chunk,
 }  // extern "C"
 
 // ---------------------------------------------------------------- EXE x86
-// E8/E9 (call/jmp rel32) absolutization, capability parity with
-// encode_exe (preprocessor.cpp:377-441; different scheme, self-inverse).
-// A rel32 operand y at position i+1 becomes (y + i) when |y| < 1<<24.
+// E8/E9 (call/jmp rel32) + 0F 8x (jcc rel32) absolutization, capability
+// parity with encode_exe (preprocessor.cpp:377-441; same invariance
+// idea, own byte layout).  The transform condition -- top operand byte
+// in {0x00, 0xFF} -- is INVARIANT under the transform itself: the
+// target address a = rel + next_insn_pos is reduced mod 2^25 and
+// sign-extended, so its top byte is again 0x00/0xFF, and the inverse
+// (a - pos mod 2^25, sign-extend) restores rel exactly for any position
+// (no 16 MB segment limit, no |rel|~2^24 edge asymmetry: encode and
+// decode always agree on WHICH operands were transformed).  Encode
+// scans backward and decode forward, so overlapping matches compose
+// LIFO and invert exactly.  Middle bytes are XOR 0xB0 (decorrelates
+// the mostly-0x00/0xFF halo for the models).
+static inline int exe_cond(const uint8_t* p, int64_t j, int64_t n) {
+  if (j + 4 >= n) return 0;
+  if (p[j + 4] != 0x00 && p[j + 4] != 0xFF) return 0;
+  return p[j] == 0xE8 || p[j] == 0xE9 ||
+         (j >= 1 && p[j - 1] == 0x0F && (p[j] & 0xF0) == 0x80);
+}
+
+static inline int32_t sext25(int64_t v) {
+  v &= 0x1FFFFFF;
+  return (int32_t)(v & 0x1000000 ? v - 0x2000000 : v);
+}
 
 extern "C" {
 
 int64_t exe_encode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
   if (cap < n) return -1;
   memcpy(out, in, n);
-  for (int64_t i = 0; i + 4 < n; ++i) {
-    if (in[i] == 0xE8 || in[i] == 0xE9) {
-      int32_t y;
-      memcpy(&y, in + i + 1, 4);
-      if (y > -(1 << 24) && y < (1 << 24)) {
-        int32_t a = y + (int32_t)i;
-        memcpy(out + i + 1, &a, 4);
-        i += 4;
-      }
+  for (int64_t j = n - 5; j >= 0; --j) {
+    if (exe_cond(out, j, n)) {
+      int64_t rel = (int64_t)out[j + 1] | (int64_t)out[j + 2] << 8 |
+                    (int64_t)out[j + 3] << 16 | (int64_t)out[j + 4] << 24;
+      int32_t a = sext25(rel + j + 5);
+      out[j + 1] = (uint8_t)(a & 0xFF) ^ 0xB0;
+      out[j + 2] = (uint8_t)((a >> 8) & 0xFF) ^ 0xB0;
+      out[j + 3] = (uint8_t)((a >> 16) & 0xFF) ^ 0xB0;
+      out[j + 4] = (uint8_t)((a >> 24) & 0xFF);
     }
   }
   return n;
@@ -224,15 +244,17 @@ int64_t exe_encode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
 int64_t exe_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
   if (cap < n) return -1;
   memcpy(out, in, n);
-  for (int64_t i = 0; i + 4 < n; ++i) {
-    if (in[i] == 0xE8 || in[i] == 0xE9) {
-      int32_t a;
-      memcpy(&a, in + i + 1, 4);
-      int32_t y = a - (int32_t)i;
-      if (y > -(1 << 24) && y < (1 << 24)) {
-        memcpy(out + i + 1, &y, 4);
-        i += 4;
-      }
+  for (int64_t j = 0; j + 4 < n; ++j) {
+    if (exe_cond(out, j, n)) {
+      int64_t a = (int64_t)(out[j + 1] ^ 0xB0) |
+                  (int64_t)(out[j + 2] ^ 0xB0) << 8 |
+                  (int64_t)(out[j + 3] ^ 0xB0) << 16 |
+                  (int64_t)out[j + 4] << 24;
+      int32_t rel = sext25(a - j - 5);
+      out[j + 1] = (uint8_t)(rel & 0xFF);
+      out[j + 2] = (uint8_t)((rel >> 8) & 0xFF);
+      out[j + 3] = (uint8_t)((rel >> 16) & 0xFF);
+      out[j + 4] = (uint8_t)((rel >> 24) & 0xFF);
     }
   }
   return n;

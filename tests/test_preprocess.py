@@ -84,6 +84,46 @@ def test_exe_python_twin_matches():
     assert wrt.exe_encode(data) == wrt._exe_py(data, True)
 
 
+def test_exe_adversarial_edges():
+    """Operands near +-2^24, opcode bytes inside data, dense overlapping
+    matches: encode/decode must agree on WHICH operands are transformed
+    (the round-1 scheme could desync there; the invariant-condition
+    scheme cannot)."""
+    import struct
+    cases = []
+    for rel in (0, 1, -1, (1 << 24) - 1, -(1 << 24), (1 << 24) - 5,
+                0x00FFFFFF, -0x01000000, 0x12345678, -0x7FFFFFF0):
+        for op in (b"\xE8", b"\xE9", b"\x0F\x84"):
+            cases.append(op + struct.pack("<i", rel))
+    rng = np.random.RandomState(7)
+    blob = b"".join(cases) + bytes(rng.bytes(4096))
+    # dense overlapping E8 runs (operand bytes are themselves opcodes)
+    blob += b"\xE8" * 64 + b"\x00" * 8 + b"\xE9\xE8\xE9\xE8" * 32
+    for data in (blob, blob * 3):
+        enc = wrt._exe_py(data, True)
+        assert wrt._exe_py(enc, False) == data
+        if wrt._LIB is not None:
+            enc_n = wrt.exe_encode(data)
+            assert enc_n == enc
+            assert wrt.exe_decode(enc_n) == data
+
+
+def test_exe_large_segment_positions():
+    """Positions beyond 16 MB: the mod-2^25 form must still invert
+    (round 1 corrupted once a segment exceeded 2^24 bytes)."""
+    import struct
+    n = (1 << 24) + (1 << 16)
+    rng = np.random.RandomState(11)
+    data = bytearray(rng.bytes(n))
+    # plant calls on both sides of the 2^24 boundary with small rels
+    for pos in (100, (1 << 24) - 3, (1 << 24) + 500, n - 6):
+        data[pos] = 0xE8
+        data[pos + 1:pos + 5] = struct.pack("<i", 1234)
+    data = bytes(data)
+    enc = wrt.exe_encode(data)
+    assert wrt.exe_decode(enc) == data
+
+
 def test_segmented_transform(d):
     text = open("/root/reference/COPYING", "rb").read()
     exe = _exe_bytes(150000)
