@@ -22,16 +22,17 @@ def log(msg):
 
 
 def build_corpus(mb=4):
-    parts = []
-    for p in ("/root/repo/testdata/text100k.raw",
-              "/root/repo/testdata/dict100k.raw",
-              "/root/repo/testdata/exe100k.raw"):
-        if os.path.exists(p):
-            with open(p, "rb") as f:
-                parts.append(f.read())
-    blob = b"".join(parts)
-    if not blob:
-        blob = bytes(range(256)) * 4096
+    """4 MiB of NON-REPEATED mixed real data (testdata/bench4m.raw --
+    GPL text, word list, ELF fragments, Python/JSON sources, Unicode
+    tables; see tools/make_bench_corpus.py).  Round 1 repeated 300 KB
+    ~13x, which let cross-block match models memorize the corpus and
+    made the bench bpb meaningless as a ratio claim; this corpus has no
+    repeated content (xz -6 reference: 1.414 bpb)."""
+    p = "/root/repo/testdata/bench4m.raw"
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            return f.read()[:mb << 20]
+    blob = bytes(range(256)) * 4096         # degraded fallback
     need = mb << 20
     return (blob * (need // len(blob) + 1))[:need]
 

@@ -10,15 +10,12 @@ mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
 
 
 def build_corpus(mb):
-    parts = []
-    for p in ("/root/repo/testdata/text100k.raw",
-              "/root/repo/testdata/dict100k.raw",
-              "/root/repo/testdata/exe100k.raw"):
-        with open(p, "rb") as f:
-            parts.append(f.read())
-    blob = b"".join(parts)
+    # non-repeated mixed corpus (see tools/make_bench_corpus.py)
+    with open("/root/repo/testdata/bench4m.raw", "rb") as f:
+        blob = f.read()
     need = int(mb * (1 << 20))
-    return (blob * (need // len(blob) + 1))[:need]
+    assert need <= len(blob), "corpus only has 4 MiB of distinct data"
+    return blob[:need]
 
 
 def main():
