@@ -63,6 +63,8 @@ from cmix_tpu.mixer.lstm import (
     LstmConfig, init_lstm_shared, init_lstm_perblock,
     lstm_shared_byte_update)
 from cmix_tpu.models import dmc
+from cmix_tpu.utils.intmath import (
+    stretch13_from_p12, squash12, squash16)
 
 MODE_ENCODE = 0
 MODE_DECODE = 1
@@ -92,6 +94,7 @@ _GATE_SPEC = (
     ("SBANK_ADAPT", int, "0"),
     ("VMATCH", int, "0"),
     ("LMS", int, "0"),
+    ("GRID2", int, "0"),
     ("BANK_CH", int, "1"),
     ("MIX_DYN2", int, "0"),
     ("MIX_KIND", int, "0"),
@@ -107,6 +110,7 @@ _GATE_SPEC = (
     ("APM_FIXED", int, "0"),
     ("CNT_CAP", int, "60"),
     ("DMC_LEVELS", int, "6"),
+    ("PORT", int, "0"),
 )
 GATES = {}          # live normalized gate values (str -> str)
 
@@ -160,6 +164,18 @@ def apply_gates(blob: bytes) -> bool:
     return True
 
 
+def update_gates(overrides) -> bool:
+    """Override selected gates in-process (e.g. the CLI's --portable).
+    Returns True when the live ensemble changed (drop compiled caches)."""
+    env = dict(GATES)
+    env.update({k: str(v) for k, v in overrides.items()})
+    if all(GATES.get(n) == _norm_gate(n, t, env.get(n, d))
+           for n, t, d in _GATE_SPEC):
+        return False
+    _derive(env)
+    return True
+
+
 # Double-indirect contexts (the reference instantiates 11 Indirect models
 # over IndirectHash history-of-hash contexts, src/predictor.cpp:166-178 +
 # src/contexts/indirect-hash.cpp): "what followed this context last time"
@@ -181,14 +197,14 @@ def _derive(env):
     gate name -> raw string; missing names take their defaults).  Called
     once at import with os.environ, and again by apply_gates when a
     decoded archive pins different gates."""
-    global N_IND, WIKI, X86X, N_BANK, MATCH_ORDERS, N_MATCH
+    global N_IND, WIKI, X86X, GRID2, N_BANK, MATCH_ORDERS, N_MATCH
     global PPM_ORDERS, N_PPM, PPM_EXCL, PPM_UPD, BANK_CK, MIX_DYN3
     global SBANK_COLS, N_SBANK, SBANK_KIND, SBANK_ADAPT
     global VMATCH, LMS, BANK_CH, DMC_IDX, N_INPUTS
     global MIX_DYN2, MIX_KIND, _MIX1_ROWS, N_MIX1, _MIX1_OFF, _MIX1_TOTAL
     global MIX_AUX, M2IN, MIX_LR, MIX_TAU, MIX_BOOST, MIX_BOOST_N
     global W_APM_LEARN, MIX_NORM, STAT_NORM, APM2X, N_APM, APM_ROWS
-    global APM_FIXED, CNT_CAP, _SBANK_NEXT, _SBANK_P0, GATES
+    global APM_FIXED, CNT_CAP, _SBANK_NEXT, _SBANK_P0, GATES, PORT
 
     GATES = {name: _norm_gate(name, typ, env.get(name, dflt))
              for name, typ, dflt in _GATE_SPEC}
@@ -202,7 +218,8 @@ def _derive(env):
     N_IND = gi("CMIX_N_IND")
     WIKI = gi("WIKI")
     X86X = gi("X86X")
-    N_BANK = 47 + N_IND + 4 * WIKI + 2 * X86X
+    GRID2 = gi("GRID2")
+    N_BANK = 47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2
     #          25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
     #          + 2 line-grid + N_IND double-indirect
     MATCH_ORDERS = tuple(
@@ -260,8 +277,16 @@ def _derive(env):
     # strided LMS predictor: adaptive linear prediction of the next byte
     # from the bytes one..four records back (capability class of paq8's
     # linearPredictionModel / audioModel LPC, src/models/paq8.cpp:4476,
-    # 5806-5869, generalized to the detected/forced record stride)
+    # 5806-5869, generalized to the detected/forced record stride).
+    # LMS=1: always active.  LMS=2: active only for blocks whose
+    # dominant segment kind is media (img24/img8/audio/jpeg-coeff, from
+    # the archive's segment table) -- the filetype routing of paq8's
+    # audioModel/imgModel without its in-model re-detection.
     LMS = gi("LMS")
+    # (GRID2, parsed above with N_BANK, adds 2 record-grid contexts:
+    # NW+N pair and N+NE+W triple -- the 2D pixel-neighborhood class of
+    # paq8's im8/im24bitModel, src/models/paq8.cpp:4743-5385, addressed
+    # by the known/detected row stride.)
     # Multi-channel bank outputs: the reference's ContextMap-class
     # models emit SEVERAL mixer inputs per context (stretch,
     # confidence-weighted stretch, maturity), not one
@@ -277,7 +302,7 @@ def _derive(env):
     BANK_CH = gi("BANK_CH")
     DMC_IDX = N_BANK + 4 + N_MATCH + 2 + N_SBANK  # dmc channel pos in x
     N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH
-                + LMS + (BANK_CH - 1) * N_BANK)
+                + (1 if LMS else 0) + (BANK_CH - 1) * N_BANK)
     # bank + (d0+d1+d2+brk) + match + lstm + ppm + state bank + dmc
 
     # layer-1 mixer gate rows: const, level, last byte, order-2 bits,
@@ -355,6 +380,21 @@ def _derive(env):
     APM_FIXED = gi("APM_FIXED")
     CNT_CAP = gi("CNT_CAP")  # counter cap (6-bit slot field)
     dmc.DMC_LEVELS = gi("DMC_LEVELS")
+    # PORT=1: the PORTABLE profile.  All probability math that feeds the
+    # coder runs in integer domains (utils/intmath.py: gather-free
+    # fixed-point stretch/squash, hi/lo-split integer mixer dots) and
+    # every shared-table scatter resolves collisions by an explicit
+    # winner rule -- so archives decode bit-exactly on a DIFFERENT
+    # executable (other platform/sharding/XLA version), the TPU answer
+    # to the reference's -O3-portable contract (README:16).  The fast
+    # default profile keeps f32 mixing and is portable only across runs
+    # of the same executable (like the reference's -Ofast).  Portable
+    # mode requires the float-internal models to be off: lstm_hidden=0,
+    # dmc_nodes=0 in EngineConfig, and VMATCH=LMS=0.
+    PORT = gi("PORT")
+    if PORT and (VMATCH or LMS or MIX_TAU or MIX_BOOST):
+        raise FormatError("PORT=1 requires VMATCH=0, LMS=0, MIX_TAU=0 "
+                          "and MIX_BOOST=0 (float-internal paths)")
 
     # per-model automaton transitions + initial per-state probabilities
     _SBANK_NEXT = np.stack(
@@ -449,7 +489,16 @@ def _lstm_cfg(cfg: EngineConfig) -> LstmConfig:
 
 
 def init_shared(cfg: EngineConfig):
-    """Shared (per coding group) learned state -- no batch dimension."""
+    """Shared (per coding group) learned state -- no batch dimension.
+
+    Under PORT=1 the float-valued tables switch to integer domains
+    (same keys): d0_p/sbank_p/match_conf/ppm_see/apm hold p12 int32,
+    mixer weights hold 16-bit-fraction fixed point int32, biases hold
+    st256 int32.  All other tables are integer in both profiles."""
+    if PORT and (cfg.lstm_hidden or cfg.dmc_nodes):
+        raise FormatError(
+            "PORT=1 requires lstm_hidden=0 and dmc_nodes=0 (their "
+            "internals are float; the portable profile excludes them)")
     sh = {
         # bank slot bits: [0..5] cnt | [6..17] p12 | [18..30] st13 where
         # st13 = round(stretch*256)+4096 -- the stretch is precomputed at
@@ -513,6 +562,36 @@ def init_shared(cfg: EngineConfig):
         # (cf. the reference's vocab bitmap, src/runner.cpp:44-51)
         "vocab_force": jnp.zeros(256, dtype=jnp.int32),
     }
+    if PORT:
+        w1i = jnp.round(_w1_init_row() * 65536.0).astype(jnp.int32)
+        w2i = jnp.round(_w2_init_row() * 65536.0).astype(jnp.int32)
+        sh.update({
+            "d0_p": jnp.full(256, 2048, dtype=jnp.int32),
+            "d0_c": jnp.zeros(256, dtype=jnp.int32),
+            "match_conf": jnp.full((N_MATCH, 32), 2253, dtype=jnp.int32),
+            "ppm_see": jnp.clip(jnp.round(
+                jnp.asarray(_see_init()) * 4096.0), 4, 3891
+            ).astype(jnp.int32),
+            "sbank_p": jnp.clip(jnp.round(
+                jnp.asarray(_SBANK_P0) * 4096.0), 1, 4095
+            ).astype(jnp.int32),
+            "w1": jnp.tile(w1i[None], (_MIX1_TOTAL, 1)),
+            "bias1": jnp.zeros((N_MIX1, 256), dtype=jnp.int32),
+            "w2": jnp.tile(w2i[None], (8, 1)),
+            "w2b": jnp.tile(w2i[None], (256, 1)),
+            "w2c": jnp.tile(w2i[None], (64, 1)),
+            "bias2": jnp.zeros((3, 256), dtype=jnp.int32),
+            "w3": jnp.full((8, 3), 65536 // 3, dtype=jnp.int32),
+            "bias3": jnp.zeros(256, dtype=jnp.int32),
+            "apm": jnp.tile(jnp.clip(jnp.round(_apm_row() * 4096.0),
+                                     1, 4095).astype(jnp.int32)[None],
+                            (APM_ROWS, 1)),
+            "w_apm": jnp.tile(jnp.concatenate([
+                jnp.asarray([26214], jnp.int32),          # 0.4 * 65536
+                jnp.full(N_APM, (65536 * 6 // 10) // N_APM,
+                         jnp.int32)])[None], (64, 1)),
+        })
+        del sh["vmatch_conf"], sh["lms_conf"], sh["w1_cnt"]
     if BANK_CK:
         # per-row check bytes; 256 = virgin (matches no context's check,
         # so untouched rows read as fresh)
@@ -602,13 +681,16 @@ def init_coder(cfg: EngineConfig):
 def _qdelta(a, b):
     """4-bit sign+log-magnitude quantization of a byte difference --
     the analog-delta bucketing used by the reference's audio/linear-
-    prediction contexts (src/models/paq8.cpp:4476-4502,5806-5869)."""
+    prediction contexts (src/models/paq8.cpp:4476-4502,5806-5869).
+    Integer floor-log2 (binary search), exact on every backend."""
     d = a.astype(jnp.int32) - b.astype(jnp.int32)
     mag = jnp.abs(d)
-    lg = jnp.where(
-        mag > 0,
-        jnp.floor(jnp.log2(mag.astype(jnp.float32))).astype(jnp.int32)
-        + 1, 0)
+    e = jnp.zeros_like(mag)
+    for k in (4, 2, 1):                      # mag < 256
+        big = mag >= (1 << k)
+        e = e + jnp.where(big, k, 0)
+        mag = jnp.where(big, mag >> k, mag)
+    lg = jnp.where(jnp.abs(d) > 0, e + 1, 0)
     return (jnp.minimum(lg, 7) * 2
             + (d < 0).astype(jnp.int32)).astype(jnp.uint32)
 
@@ -707,6 +789,9 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
         xe = x86_ext_vals(x86_state)
         vals.append(xe[:, 0])
         vals.append(xe[:, 1])
+    if GRID2:   # appended last so existing context indices stay stable
+        vals.append(rec_vals[:, 4])
+        vals.append(rec_vals[:, 5])
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24], above_l, v_alive
@@ -723,12 +808,22 @@ def _record_ctx_vals(cfg, pb, t):
     above2 = pb["hist"][bar, jnp.mod(t - 2 * rl, n)].astype(jnp.uint32)
     posr = jnp.mod(t, jnp.maximum(rl, 1)).astype(jnp.uint32)
     rlu = rl.astype(jnp.uint32)
-    return jnp.stack([
+    vals = [
         mix32(above, rlu),
         mix32(above | (above2 << U8), jnp.uint32(0x51ED2701)),
         mix32(posr, rlu << U8),
         mix32(above << U8, posr),
-    ], axis=1), rl, posr
+    ]
+    if GRID2:
+        # 2D pixel neighborhood at the known stride: NW+N pair and
+        # N+NE+W triple (paq8 im8/24bitModel class, paq8.cpp:4743-5385)
+        nw = pb["hist"][bar, jnp.mod(t - rl - 1, n)].astype(jnp.uint32)
+        ne = pb["hist"][bar, jnp.mod(t - rl + 1, n)].astype(jnp.uint32)
+        lf = pb["hist"][bar, jnp.mod(t - 1, n)].astype(jnp.uint32)
+        vals.append(mix32(nw | (above << U8), jnp.uint32(0x632BE5AB)))
+        vals.append(mix32(above | (ne << U8) | (lf << jnp.uint32(16)),
+                          jnp.uint32(0x9E3779B1)))
+    return jnp.stack(vals, axis=1), rl, posr
 
 
 def _slot_update(slots, target):
@@ -749,6 +844,20 @@ def _slot_update(slots, target):
 def _stretch_f(p):
     p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
     return jnp.clip(jnp.log(p / (1.0 - p)), -ST_CLAMP, ST_CLAMP)
+
+
+def _idot(eq, w, x):
+    """Integer mixer dot in st256 units: (sum w*x) >> 16 with w int32
+    (16-bit fraction, |w| <= 8*65536) and x int32 st256 (+-3072).
+
+    The 32-bit sum of full products would overflow, so w splits into
+    hi(signed)*256 + lo(unsigned<256) and the two partial dots shift
+    separately -- every step exact, associative, backend-independent.
+    Worst case |hi dot| < 2^23 * n_inputs, safe to ~512 inputs."""
+    w_hi = w >> 8
+    w_lo = w - (w_hi << 8)
+    return ((jnp.einsum(eq, w_hi, x) >> 8)
+            + (jnp.einsum(eq, w_lo, x) >> 16))
 
 
 def _squash_f(st):
@@ -790,6 +899,113 @@ def _coder_bit_b(cd, comp, enc_bit, p16, mode):
 
 
 # ----------------------------------------------------------- tree predictor
+
+
+def _ppm_blend_f32(sh, ppm_rows, B, p_ar):
+    """f32 PPM escape-blend (fast profile).  Returns (st_ppm, pcnt_eff,
+    ptot, pdst, see_d, see_t, see_p)."""
+    pcnt = ppm_rows.astype(jnp.float32)
+    if PPM_EXCL:
+        # symbol exclusion (the property that makes PPMD strong,
+        # src/models/ppmd.cpp update-exclusion walk): a symbol counted
+        # at a higher order is removed from every lower order's
+        # distribution, and the final fallback is uniform over the
+        # never-seen set only.  One reversed cumsum, fully dense.
+        rev = pcnt[:, ::-1, :]                               # high order 1st
+        seen = jnp.cumsum((rev > 0).astype(jnp.float32), axis=1)
+        seen_above = jnp.concatenate(
+            [jnp.zeros((B, 1, 256), jnp.float32), seen[:, :-1]], axis=1)
+        pcnt = jnp.where(seen_above > 0, 0.0, rev)[:, ::-1, :]
+        unseen = (seen[:, -1, :] == 0).astype(jnp.float32)   # (B, 256)
+        n_uns = jnp.sum(unseen, axis=1, keepdims=True)
+        fb = jnp.where(n_uns > 0, unseen / jnp.maximum(n_uns, 1.0),
+                       1.0 / 256.0)                          # (B, 256)
+    else:
+        fb = 1.0 / 256.0
+    ptot = jnp.sum(pcnt, axis=2)                             # (B, NP)
+    pdst = jnp.sum((pcnt > 0).astype(jnp.float32), axis=2)   # distinct
+    # SEE: escape probability from the learned (order, distinct, total)
+    # table instead of the raw PPM-C ratio
+    see_d = jnp.minimum(pdst, SEE_DIST_B - 1).astype(jnp.int32)
+    see_t = jnp.clip(jnp.log2(ptot + 1.0), 0, SEE_TOT_B - 1
+                     ).astype(jnp.int32)
+    see_p = sh["ppm_see"][p_ar[None, :], see_d, see_t]       # (B, NP)
+    pesc = jnp.where(ptot > 0, see_p, 1.0)                   # (B, NP)
+    # weight of order o (descending) = prod of escapes of higher orders
+    esc_rev = pesc[:, ::-1]                                  # high order first
+    wcum = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.float32),
+         jnp.cumprod(esc_rev[:, :-1], axis=1)], axis=1)      # (B, NP)
+    w_ord = (wcum * (1.0 - esc_rev))[:, ::-1]                # back ascending
+    pnorm = pcnt / jnp.maximum(ptot, 1.0)[:, :, None]
+    q = jnp.einsum("bn,bnk->bk", w_ord, pnorm) \
+        + (wcum[:, -1] * esc_rev[:, -1])[:, None] * fb
+    pqcum = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(q, axis=1)], axis=1)
+    q_lo = pqcum[:, jnp.asarray(_LO)]
+    q_hi = pqcum[:, jnp.asarray(_HI)]
+    q_mid = pqcum[:, jnp.asarray(_MID)]
+    p_ppm = jnp.clip((q_hi - q_mid) / jnp.maximum(q_hi - q_lo, 1e-9),
+                     1e-5, 1 - 1e-5)
+    st_ppm = _stretch_f(p_ppm)[:, None, :]                   # (B, 1, 256)
+    return st_ppm, pcnt, ptot, pdst, see_d, see_t, see_p
+
+
+def _ppm_blend_int(sh, ppm_rows, B, p_ar):
+    """Integer twin of _ppm_blend_f32 (portable profile): distribution
+    in 16-bit fixed point, escapes in p12, node probabilities via exact
+    integer division, stretch via intmath.  Same return signature (all
+    integer tensors)."""
+    pcnt = ppm_rows.astype(jnp.int32)                        # (B, NP, 256)
+    if PPM_EXCL:
+        rev = pcnt[:, ::-1, :]
+        seen = jnp.cumsum((rev > 0).astype(jnp.int32), axis=1)
+        seen_above = jnp.concatenate(
+            [jnp.zeros((B, 1, 256), jnp.int32), seen[:, :-1]], axis=1)
+        pcnt = jnp.where(seen_above > 0, 0, rev)[:, ::-1, :]
+        unseen = (seen[:, -1, :] == 0).astype(jnp.int32)     # (B, 256)
+        n_uns = jnp.sum(unseen, axis=1, keepdims=True)
+        fb16 = jnp.where(n_uns > 0,
+                         unseen * (65536 // jnp.maximum(n_uns, 1)),
+                         256)                                # (B, 256)
+    else:
+        fb16 = jnp.full((B, 256), 256, jnp.int32)            # 65536/256
+    ptot = jnp.sum(pcnt, axis=2)                             # (B, NP)
+    pdst = jnp.sum((pcnt > 0).astype(jnp.int32), axis=2)
+    see_d = jnp.minimum(pdst, SEE_DIST_B - 1)
+    see_t = jnp.minimum(_floor_log2_i(ptot + 1), SEE_TOT_B - 1)
+    see_p = sh["ppm_see"][p_ar[None, :], see_d, see_t]       # (B,NP) p12
+    pesc = jnp.where(ptot > 0, see_p, 4096)                  # (B, NP) p12
+    # wcum16: cumulative escape products, high order first
+    esc_rev = pesc[:, ::-1]
+    wcum = [jnp.full((B,), 65536, jnp.int32)]
+    for j in range(N_PPM - 1):
+        wcum.append((wcum[-1] * esc_rev[:, j]) >> 12)
+    wcum = jnp.stack(wcum, axis=1)                           # (B, NP)
+    w_ord = ((wcum >> 4) * ((4096 - esc_rev) >> 2) >> 6)[:, ::-1]
+    pnorm16 = (pcnt << 16) // jnp.maximum(ptot, 1)[:, :, None]
+    q16 = jnp.sum(((w_ord[:, :, None] >> 4)
+                   * (pnorm16 >> 4)) >> 8, axis=1)           # (B, 256)
+    w_fb = (wcum[:, -1] * esc_rev[:, -1]) >> 12              # (B,)
+    q16 = q16 + (((w_fb[:, None] >> 4) * (fb16 >> 4)) >> 8)
+    pqcum = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(q16, axis=1)], axis=1)
+    q_lo = pqcum[:, jnp.asarray(_LO)]
+    q_hi = pqcum[:, jnp.asarray(_HI)]
+    q_mid = pqcum[:, jnp.asarray(_MID)]
+    p12 = jnp.clip(((q_hi - q_mid) << 12)
+                   // jnp.maximum(q_hi - q_lo, 1), 1, 4095)
+    st_ppm = (stretch13_from_p12(p12) - 4096)[:, None, :]    # (B, 1, 256)
+    return st_ppm, pcnt, ptot, pdst, see_d, see_t, see_p
+
+
+def _floor_log2_i(x):
+    e = jnp.zeros_like(x)
+    for k in (16, 8, 4, 2, 1):
+        big = x >= (1 << k)
+        e = e + jnp.where(big, k, 0)
+        x = jnp.where(big, x >> k, x)
+    return e
 
 
 def _dyn3_gates(cs, pb, exp_byte, pdst, ptot):
@@ -843,17 +1059,27 @@ def _predict_tree_b(cfg, sh, pb, t):
         ck_exp = (bases & jnp.uint32(0xFF)).astype(jnp.int32)
         ck_ok = sh["bank_ck"][m_ar[None, :], rowi] == ck_exp
         rows = jnp.where(ck_ok[:, :, None], rows, jnp.uint32(_SLOT_INIT))
-    st_bank = ((rows >> jnp.uint32(18)).astype(jnp.float32)
-               - 4096.0) * (1.0 / 256.0)                     # (B, NM, 256)
+    if PORT:                                                 # st256 int32
+        st_bank = (rows >> jnp.uint32(18)).astype(jnp.int32) - 4096
+    else:
+        st_bank = ((rows >> jnp.uint32(18)).astype(jnp.float32)
+                   - 4096.0) * (1.0 / 256.0)                 # (B, NM, 256)
 
     b1 = (cs["last4"] & jnp.uint32(0xFF)).astype(jnp.int32)  # (B,)
-    st_d0 = jnp.broadcast_to(_stretch_f(sh["d0_p"])[None], (B, 256))
+    if PORT:
+        st_d0 = jnp.broadcast_to(
+            (stretch13_from_p12(sh["d0_p"]) - 4096)[None], (B, 256))
+    else:
+        st_d0 = jnp.broadcast_to(_stretch_f(sh["d0_p"])[None], (B, 256))
     b2 = (cs["last4"] & jnp.uint32(0xFFFF)).astype(jnp.int32)
     d12_idx = jnp.stack([b1, 256 + b2, D12_BRK + brctx],
                         axis=1)                              # (B, 3)
     d12rows = sh["d12"][d12_idx]                             # (B, 3, 256)
-    st_d12 = ((d12rows >> jnp.uint32(18)).astype(jnp.float32)
-              - 4096.0) * (1.0 / 256.0)
+    if PORT:
+        st_d12 = (d12rows >> jnp.uint32(18)).astype(jnp.int32) - 4096
+    else:
+        st_d12 = ((d12rows >> jnp.uint32(18)).astype(jnp.float32)
+                  - 4096.0) * (1.0 / 256.0)
 
     # match: cursors may point into ANY block's history (cross-block refs)
     exp_byte = pb["hist"][
@@ -866,8 +1092,15 @@ def _predict_tree_b(cfg, sh, pb, t):
     alive = (node[None, None, :] == exp_pref) & \
         (pb["match_len"] > 0)[:, :, None]
     exp_bit = (exp_byte[:, :, None] >> (7 - level)[None, None, :]) & 1
-    sign = jnp.where(exp_bit == 1, 1.0, -1.0)
-    st_match = jnp.where(alive, sign * _stretch_f(conf)[:, :, None], 0.0)
+    if PORT:
+        sign = jnp.where(exp_bit == 1, 1, -1)
+        st_match = jnp.where(
+            alive,
+            sign * (stretch13_from_p12(conf) - 4096)[:, :, None], 0)
+    else:
+        sign = jnp.where(exp_bit == 1, 1.0, -1.0)
+        st_match = jnp.where(alive, sign * _stretch_f(conf)[:, :, None],
+                             0.0)
 
     if cfg.lstm_hidden:
         qcum = pb["lstm"]["qcum"]                            # (B, 257)
@@ -878,7 +1111,8 @@ def _predict_tree_b(cfg, sh, pb, t):
         p_lstm = jnp.clip((tot_hi - mid) / denom, 1e-5, 1 - 1e-5)
         st_lstm = _stretch_f(p_lstm)[:, None, :]             # (B, 1, 256)
     else:
-        st_lstm = jnp.zeros((B, 1, 256), jnp.float32)
+        st_lstm = jnp.zeros((B, 1, 256),
+                            jnp.int32 if PORT else jnp.float32)
 
     # ---- PPM: escape-blended multi-order byte distribution
     # (capability class of mod_ppmd's SQ[] enumeration + ConvertSQ,
@@ -892,50 +1126,12 @@ def _predict_tree_b(cfg, sh, pb, t):
     prowi = ((pbase >> U8) & pmask).astype(jnp.int32)
     p_ar = jnp.arange(N_PPM)
     ppm_rows = sh["ppm"][p_ar[None, :], prowi]               # (B,NP,256) u8
-    pcnt = ppm_rows.astype(jnp.float32)
-    if PPM_EXCL:
-        # symbol exclusion (the property that makes PPMD strong,
-        # src/models/ppmd.cpp update-exclusion walk): a symbol counted
-        # at a higher order is removed from every lower order's
-        # distribution, and the final fallback is uniform over the
-        # never-seen set only.  One reversed cumsum, fully dense.
-        rev = pcnt[:, ::-1, :]                               # high order 1st
-        seen = jnp.cumsum((rev > 0).astype(jnp.float32), axis=1)
-        seen_above = jnp.concatenate(
-            [jnp.zeros((B, 1, 256), jnp.float32), seen[:, :-1]], axis=1)
-        pcnt = jnp.where(seen_above > 0, 0.0, rev)[:, ::-1, :]
-        unseen = (seen[:, -1, :] == 0).astype(jnp.float32)   # (B, 256)
-        n_uns = jnp.sum(unseen, axis=1, keepdims=True)
-        fb = jnp.where(n_uns > 0, unseen / jnp.maximum(n_uns, 1.0),
-                       1.0 / 256.0)                          # (B, 256)
+    if PORT:
+        (st_ppm, pcnt, ptot, pdst, see_d, see_t,
+         see_p) = _ppm_blend_int(sh, ppm_rows, B, p_ar)
     else:
-        fb = 1.0 / 256.0
-    ptot = jnp.sum(pcnt, axis=2)                             # (B, NP)
-    pdst = jnp.sum((pcnt > 0).astype(jnp.float32), axis=2)   # distinct
-    # SEE: escape probability from the learned (order, distinct, total)
-    # table instead of the raw PPM-C ratio
-    see_d = jnp.minimum(pdst, SEE_DIST_B - 1).astype(jnp.int32)
-    see_t = jnp.clip(jnp.log2(ptot + 1.0), 0, SEE_TOT_B - 1
-                     ).astype(jnp.int32)
-    see_p = sh["ppm_see"][p_ar[None, :], see_d, see_t]       # (B, NP)
-    pesc = jnp.where(ptot > 0, see_p, 1.0)                   # (B, NP)
-    # weight of order o (descending) = prod of escapes of higher orders
-    esc_rev = pesc[:, ::-1]                                  # high order first
-    wcum = jnp.concatenate(
-        [jnp.ones((B, 1), jnp.float32),
-         jnp.cumprod(esc_rev[:, :-1], axis=1)], axis=1)      # (B, NP)
-    w_ord = (wcum * (1.0 - esc_rev))[:, ::-1]                # back ascending
-    pnorm = pcnt / jnp.maximum(ptot, 1.0)[:, :, None]
-    q = jnp.einsum("bn,bnk->bk", w_ord, pnorm) \
-        + (wcum[:, -1] * esc_rev[:, -1])[:, None] * fb
-    pqcum = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(q, axis=1)], axis=1)
-    q_lo = pqcum[:, jnp.asarray(_LO)]
-    q_hi = pqcum[:, jnp.asarray(_HI)]
-    q_mid = pqcum[:, jnp.asarray(_MID)]
-    p_ppm = jnp.clip((q_hi - q_mid) / jnp.maximum(q_hi - q_lo, 1e-9),
-                     1e-5, 1 - 1e-5)
-    st_ppm = _stretch_f(p_ppm)[:, None, :]                   # (B, 1, 256)
+        (st_ppm, pcnt, ptot, pdst, see_d, see_t,
+         see_p) = _ppm_blend_f32(sh, ppm_rows, B, p_ar)
 
     # ---- state bank: packed slots carry their own stretch (see the
     # layout note at SBANK_COLS) -- one row gather, no per-state lookup
@@ -946,15 +1142,18 @@ def _predict_tree_b(cfg, sh, pb, t):
              & rmask).astype(jnp.int32)                      # (B, NS)
     s_ar = jnp.arange(N_SBANK)
     srows = sh["sbank"][s_ar[None, :], srowi]                # (B,NS,256) u32
-    st_sbank = ((srows >> U8).astype(jnp.float32)
-                - 4096.0) * (1.0 / 256.0)                    # (B, NS, 256)
+    if PORT:
+        st_sbank = (srows >> U8).astype(jnp.int32) - 4096
+    else:
+        st_sbank = ((srows >> U8).astype(jnp.float32)
+                    - 4096.0) * (1.0 / 256.0)                # (B, NS, 256)
 
     # ---- DMC: grown bit-automaton prediction per tree node
     if cfg.dmc_nodes:
         st_dmc = _stretch_f(dmc.predict_tree(pb))[:, None, :]
     else:
-        st_dmc = jnp.zeros((B, 1, 256), jnp.float32)
-
+        st_dmc = jnp.zeros((B, 1, 256),
+                           jnp.int32 if PORT else jnp.float32)
     if LMS:
         # strided LMS: taps over the bytes 1..4 records back
         rlL = jnp.where(pb["rec_forced"] > 0, pb["rec_forced"],
@@ -976,6 +1175,11 @@ def _predict_tree_b(cfg, sh, pb, t):
         lsign = jnp.where(l_bit == 1, 1.0, -1.0)
         st_lms = jnp.where(l_on, lsign * _stretch_f(lconf)[:, None],
                            0.0)[:, None, :]                  # (B, 1, 256)
+        if LMS == 2:   # media-kind routed: silent on non-media blocks
+            lms_med = (pb["blk_kind"] >= 3) & (pb["blk_kind"] <= 7)
+            st_lms = jnp.where(lms_med[:, None, None], st_lms, 0.0)
+        else:
+            lms_med = None
         lm = [st_lms]
     else:
         xs_f = predf = pbyte = errb = lconf = None
@@ -1004,11 +1208,18 @@ def _predict_tree_b(cfg, sh, pb, t):
         # extra per-bank-model channels (see the BANK_CH note above);
         # the slot count is already in the gathered rows -- the widened
         # input only costs elementwise math plus a wider mixer matmul
-        cntf = (rows & jnp.uint32(0x3F)).astype(jnp.float32)
-        bconf = cntf / (cntf + 2.0)                          # (B, NM, 256)
-        extra = [st_bank * bconf]
-        if BANK_CH > 2:
-            extra.append(2.0 * bconf - 1.0)
+        if PORT:
+            cnti = (rows & jnp.uint32(0x3F)).astype(jnp.int32)
+            conf12 = (cnti << 12) // (cnti + 2)              # p12
+            extra = [(st_bank * conf12) >> 12]
+            if BANK_CH > 2:
+                extra.append((conf12 - 2048))                # +-2048 st256
+        else:
+            cntf = (rows & jnp.uint32(0x3F)).astype(jnp.float32)
+            bconf = cntf / (cntf + 2.0)                      # (B, NM, 256)
+            extra = [st_bank * bconf]
+            if BANK_CH > 2:
+                extra.append(2.0 * bconf - 1.0)
         x = jnp.concatenate([x] + extra, axis=1)
 
     longest = (jnp.max(jnp.where(pb["match_len"] > 0, lenb, 0), axis=1) * 2
@@ -1045,14 +1256,26 @@ def _predict_tree_b(cfg, sh, pb, t):
     w_level = jax.lax.dynamic_slice_in_dim(sh["w1"], 1, 8)   # (8, NIN)
     w_lvl_nodes = w_level[level]                             # (256, NIN)
 
-    dot_const = jnp.einsum("n,bnk->bk", w_const, x)
-    dot_dyn = jnp.einsum("bin,bnk->bik", w_dyn, x)           # (B, 6, 256)
-    dot_level = jnp.einsum("kn,bnk->bk", w_lvl_nodes, x)
-    dots = jnp.concatenate(
-        [dot_const[:, None], dot_level[:, None], dot_dyn], axis=1)
-    dots = dots + sh["bias1"][None]                          # (B, M1, 256)
-    p1 = _squash_f(dots)
-    st1 = jnp.clip(dots, -ST_CLAMP, ST_CLAMP)
+    if PORT:
+        # integer dots (hi/lo split, see _idot): exact on every backend
+        dots = jnp.concatenate(
+            [_idot("n,bnk->bk", w_const, x)[:, None],
+             _idot("kn,bnk->bk", w_lvl_nodes, x)[:, None],
+             _idot("bin,bnk->bik", w_dyn, x)], axis=1)
+        # biases are stored at 16-bit fraction (fine-grained updates);
+        # >> 8 brings them to the st256 dot domain
+        dots = jnp.clip(dots + (sh["bias1"][None] >> 8), -3071, 3071)
+        p1 = squash12(dots + 4096)                           # p12
+        st1 = dots                                           # st256
+    else:
+        dot_const = jnp.einsum("n,bnk->bk", w_const, x)
+        dot_dyn = jnp.einsum("bin,bnk->bik", w_dyn, x)       # (B, 6, 256)
+        dot_level = jnp.einsum("kn,bnk->bk", w_lvl_nodes, x)
+        dots = jnp.concatenate(
+            [dot_const[:, None], dot_level[:, None], dot_dyn], axis=1)
+        dots = dots + sh["bias1"][None]                      # (B, M1, 256)
+        p1 = _squash_f(dots)
+        st1 = jnp.clip(dots, -ST_CLAMP, ST_CLAMP)
 
     if MIX_AUX:
         # auxiliary taps: the LSTM/PPM/DMC stretches re-fed RAW into the
@@ -1065,17 +1288,30 @@ def _predict_tree_b(cfg, sh, pb, t):
         st1c = st1
     clsg = (cs["clsreg"] & jnp.uint32(63)).astype(jnp.int32)  # (B,)
     w2n = sh["w2"][level]                                    # (256, M2IN)
-    dot2a = jnp.einsum("km,bmk->bk", w2n, st1c)
-    dot2b = jnp.einsum("bm,bmk->bk", sh["w2b"][b1], st1c)
-    dot2c = jnp.einsum("bm,bmk->bk", sh["w2c"][clsg], st1c)
-    dot2 = jnp.stack([dot2a, dot2b, dot2c], axis=1) \
-        + sh["bias2"][None]                                  # (B, 3, 256)
-    p2 = _squash_f(dot2)
-    st2 = jnp.clip(dot2, -ST_CLAMP, ST_CLAMP)
-
-    w3n = sh["w3"][level]                                    # (256, 3)
-    dot3 = jnp.einsum("kj,bjk->bk", w3n, st2) + sh["bias3"][None]
-    p_mix = _squash_f(dot3)                                  # (B, 256)
+    if PORT:
+        dot2 = jnp.stack(
+            [_idot("km,bmk->bk", w2n, st1c),
+             _idot("bm,bmk->bk", sh["w2b"][b1], st1c),
+             _idot("bm,bmk->bk", sh["w2c"][clsg], st1c)], axis=1)
+        dot2 = jnp.clip(dot2 + (sh["bias2"][None] >> 8), -3071, 3071)
+        p2 = squash12(dot2 + 4096)
+        st2 = dot2
+        dot3 = _idot("kj,bjk->bk", sh["w3"][level], st2) \
+            + (sh["bias3"][None] >> 8)
+        st3 = jnp.clip(dot3, -3071, 3071)
+        p_mix = squash12(st3 + 4096)                         # p12
+    else:
+        dot2a = jnp.einsum("km,bmk->bk", w2n, st1c)
+        dot2b = jnp.einsum("bm,bmk->bk", sh["w2b"][b1], st1c)
+        dot2c = jnp.einsum("bm,bmk->bk", sh["w2c"][clsg], st1c)
+        dot2 = jnp.stack([dot2a, dot2b, dot2c], axis=1) \
+            + sh["bias2"][None]                              # (B, 3, 256)
+        p2 = _squash_f(dot2)
+        st2 = jnp.clip(dot2, -ST_CLAMP, ST_CLAMP)
+        w3n = sh["w3"][level]                                # (256, 3)
+        dot3 = jnp.einsum("kj,bjk->bk", w3n, st2) + sh["bias3"][None]
+        st3 = None
+        p_mix = _squash_f(dot3)                              # (B, 256)
 
     def apm(tbl_rows, p):
         # interpolated SSE read as one (B,256,33)x(B,33) contraction on
@@ -1088,6 +1324,17 @@ def _predict_tree_b(cfg, sh, pb, t):
         w = ((j == tl[:, :, None]) * (1 - frac)[:, :, None]
              + (j == (tl + 1)[:, :, None]) * frac[:, :, None])
         return jnp.einsum("bkt,bt->bk", w, tbl_rows), tl, frac
+
+    def apm_int(tbl_rows, st):
+        # integer twin: 7-bit interpolation weights, rows are p12
+        tq = jnp.clip(st + 2048, 0, 4095)
+        tl = jnp.minimum(tq >> 7, 31)
+        fr = tq - (tl << 7)                                  # 0..127
+        j = jnp.arange(33)[None, None, :]
+        w = ((j == tl[:, :, None]) * (128 - fr)[:, :, None]
+             + (j == (tl + 1)[:, :, None]) * fr[:, :, None])
+        pa = jnp.einsum("bkt,bt->bk", w, tbl_rows) >> 7      # p12
+        return jnp.clip(pa, 1, 4095), tl, fr
 
     o2g = ((cs["ohash"][:, 2] >> jnp.uint32(17))
            & jnp.uint32(0xFF)).astype(jnp.int32)
@@ -1102,20 +1349,42 @@ def _predict_tree_b(cfg, sh, pb, t):
     apm_rows = sh["apm"][apm_idx]                            # (B, NA, 33)
     pas, tls, frs = [], [], []
     for j in range(N_APM):
-        pa_j, t_j, f_j = apm(apm_rows[:, j], p_mix)
+        if PORT:
+            pa_j, t_j, f_j = apm_int(apm_rows[:, j], st3)
+        else:
+            pa_j, t_j, f_j = apm(apm_rows[:, j], p_mix)
         pas.append(pa_j)
         tls.append(t_j)
         frs.append(f_j)
-    st_in = jnp.stack(
-        [_stretch_f(p_mix)] + [_stretch_f(p) for p in pas],
-        axis=1)                                              # (B, 1+NA, 256)
-    if APM_FIXED:
-        pa = jnp.clip(sum(pas) * (1.0 / N_APM), 1e-6, 1 - 1e-6)
-        st_fin = 0.4 * _stretch_f(p_mix) + 0.6 * _stretch_f(pa)
+    if PORT:
+        st_in = jnp.stack(
+            [st3] + [stretch13_from_p12(p) - 4096 for p in pas],
+            axis=1)                                          # (B, 1+NA, 256)
+        if APM_FIXED:
+            pa = jnp.clip(sum(pas) // N_APM, 1, 4095)
+            st_fin = ((26214 * st3) >> 16) \
+                + ((39322 * (stretch13_from_p12(pa) - 4096)) >> 16)
+        else:
+            wa = sh["w_apm"][longest]                        # (B, 1+NA)
+            wa_hi = wa >> 8
+            wa_lo = wa - (wa_hi << 8)
+            st_fin = (jnp.einsum("bj,bjk->bk", wa_hi, st_in) >> 8) \
+                + (jnp.einsum("bj,bjk->bk", wa_lo, st_in) >> 16)
+        st_fin = jnp.clip(st_fin, -3071, 3071)
+        p_tree = squash16(st_fin + 4096)                     # p16 int32
+        p_tree12 = squash12(st_fin + 4096)
     else:
-        wa = sh["w_apm"][longest]                            # (B, 4)
-        st_fin = jnp.einsum("bj,bjk->bk", wa, st_in)
-    p_tree = _squash_f(st_fin)                               # (B, 256)
+        st_in = jnp.stack(
+            [_stretch_f(p_mix)] + [_stretch_f(p) for p in pas],
+            axis=1)                                          # (B, 1+NA, 256)
+        if APM_FIXED:
+            pa = jnp.clip(sum(pas) * (1.0 / N_APM), 1e-6, 1 - 1e-6)
+            st_fin = 0.4 * _stretch_f(p_mix) + 0.6 * _stretch_f(pa)
+        else:
+            wa = sh["w_apm"][longest]                        # (B, 4)
+            st_fin = jnp.einsum("bj,bjk->bk", wa, st_in)
+        p_tree = _squash_f(st_fin)                           # (B, 256)
+        p_tree12 = None
 
     aux = dict(rowi=rowi, rows=rows, ck_exp=ck_exp, b1=b1, d12_idx=d12_idx,
                prowi=prowi, ppm_rows=ppm_rows, pcnt_eff=pcnt,
@@ -1127,14 +1396,46 @@ def _predict_tree_b(cfg, sh, pb, t):
                w_level=w_level, p1=p1, st1=st1c, p_mix=p_mix,
                p2=p2, st2=st2, clsg=clsg,
                longest=longest, tls=tuple(tls), frs=tuple(frs),
-               st_in=st_in, p_tree=p_tree,
+               st_in=st_in, p_tree=p_tree, p_tree12=p_tree12,
                vlml=vlml, vconf=vconf, vexp=vexp_i, valive=v_alive,
                lms_xs=xs_f, lms_pred=predf, lms_pbyte=pbyte,
-               lms_errb=errb, lms_conf=lconf)
+               lms_errb=errb, lms_conf=lconf,
+               lms_med=(lms_med if LMS == 2 else None))
     return p_tree, aux
 
 
 # ------------------------------------------------------------- tree update
+
+
+def _claim_win(n_flat, fidx, B):
+    """Deterministic scatter-collision winner (portable profile).
+
+    fidx: (B, ...) flat indices into a table of n_flat slots.  Returns a
+    bool mask, True where this block is the winner for its slot.  The
+    fast profile lets XLA pick the duplicate-scatter winner (stable per
+    executable); cross-executable portability needs an explicit rule:
+    highest block index wins, decided by an associative scatter-max."""
+    bar = jnp.arange(B, dtype=jnp.int32).reshape(
+        (B,) + (1,) * (fidx.ndim - 1))
+    claim = jnp.zeros((n_flat,), jnp.int32).at[fidx].max(
+        bar + 1, mode="drop")
+    return claim[fidx] == bar + 1
+
+
+def _slot_update_int(slots, target_i):
+    """Integer twin of _slot_update: packed slots toward target bits.
+
+    rate = 65536/(10*cnt+16) ~ 1/(cnt+1.6); st13 via intmath."""
+    cnt = (slots & jnp.uint32(0x3F)).astype(jnp.int32)
+    p12 = ((slots >> jnp.uint32(6)) & jnp.uint32(0xFFF)).astype(jnp.int32)
+    r16 = 655360 // (10 * cnt + 16)
+    newp = jnp.clip(
+        p12 + (((target_i * 4096 - p12) * r16) >> 16), 1, 4095)
+    newc = jnp.minimum(cnt + 1, CNT_CAP)
+    st13 = stretch13_from_p12(newp)
+    return ((st13.astype(jnp.uint32) << jnp.uint32(18))
+            | (newp.astype(jnp.uint32) << jnp.uint32(6))
+            | newc.astype(jnp.uint32))
 
 
 def _update_tree_b(cfg, sh, pb, aux, byte, t):
@@ -1160,44 +1461,92 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     t8 = ((byte[:, None] >> (7 - jnp.arange(8))[None, :]) & 1
           ).astype(jnp.float32)                              # (B, 8)
 
+    target_i = ((byte[:, None] >> (7 - level)[None, :]) & 1)  # int (B,256)
+
     # ---- bank: masked in-row slot updates, one row-window scatter.
     # Dense full-row compute + mask is the fast form on TPU: the fused
     # elementwise update of all 2.4M slots costs ~50 us, while gathering
     # the 8 path slots per row costs ~1.3 ms (dynamic gathers run at
     # ~12 ns/element on the scalar core) -- measured both ways.
     onp_b = on_path.astype(jnp.bool_)
-    newrows = jnp.where(onp_b[:, None, :],
-                        _slot_update(aux["rows"], target[:, None, :]),
-                        aux["rows"])
+    if PORT:
+        newrows = jnp.where(onp_b[:, None, :],
+                            _slot_update_int(aux["rows"],
+                                             target_i[:, None, :]),
+                            aux["rows"])
+    else:
+        newrows = jnp.where(onp_b[:, None, :],
+                            _slot_update(aux["rows"], target[:, None, :]),
+                            aux["rows"])
     m_ar = jnp.arange(N_BANK)
-    sh["bank"] = sh["bank"].at[m_ar[None, :], aux["rowi"]].set(newrows)
-    if BANK_CK:
-        sh["bank_ck"] = sh["bank_ck"].at[
-            m_ar[None, :], aux["rowi"]].set(aux["ck_exp"])
+    if PORT:
+        win = _claim_win(N_BANK * cfg.rows,
+                         m_ar[None, :] * cfg.rows + aux["rowi"], B)
+        rowi_w = jnp.where(win, aux["rowi"], cfg.rows)
+        sh["bank"] = sh["bank"].at[
+            m_ar[None, :], rowi_w].set(newrows, mode="drop")
+        if BANK_CK:
+            sh["bank_ck"] = sh["bank_ck"].at[
+                m_ar[None, :], rowi_w].set(aux["ck_exp"], mode="drop")
+    else:
+        sh["bank"] = sh["bank"].at[m_ar[None, :], aux["rowi"]].set(newrows)
+        if BANK_CK:
+            sh["bank_ck"] = sh["bank_ck"].at[
+                m_ar[None, :], aux["rowi"]].set(aux["ck_exp"])
 
     # ---- d0: aggregated dense update (shared order-0 stats)
-    c0 = sh["d0_c"]
-    r0 = 1.0 / (c0 + 1.6)
-    delta0 = jnp.sum((target - sh["d0_p"][None]) * on_path, axis=0)
-    hits0 = jnp.sum(on_path, axis=0)
-    if STAT_NORM:
-        delta0 = delta0 / jnp.maximum(hits0, 1.0)
-        hits0 = jnp.minimum(hits0, 1.0)
-    sh["d0_p"] = jnp.clip(sh["d0_p"] + r0 * delta0, 1e-4, 1 - 1e-4)
-    sh["d0_c"] = jnp.minimum(c0 + hits0, float(CNT_CAP))
+    if PORT:
+        onp_i = on_path.astype(jnp.int32)
+        delta0 = jnp.clip(jnp.sum(
+            (target_i * 4096 - sh["d0_p"][None]) * onp_i, axis=0),
+            -(1 << 20), 1 << 20)
+        hits0 = jnp.sum(onp_i, axis=0)
+        if STAT_NORM:
+            delta0 = delta0 // jnp.maximum(hits0, 1)
+            hits0 = jnp.minimum(hits0, 1)
+        r16_0 = 655360 // (10 * sh["d0_c"] + 16)
+        sh["d0_p"] = jnp.clip(
+            sh["d0_p"] + ((jnp.clip(delta0, -32768, 32767) * r16_0)
+                          >> 16), 1, 4095)
+        sh["d0_c"] = jnp.minimum(sh["d0_c"] + hits0, CNT_CAP)
+    else:
+        c0 = sh["d0_c"]
+        r0 = 1.0 / (c0 + 1.6)
+        delta0 = jnp.sum((target - sh["d0_p"][None]) * on_path, axis=0)
+        hits0 = jnp.sum(on_path, axis=0)
+        if STAT_NORM:
+            delta0 = delta0 / jnp.maximum(hits0, 1.0)
+            hits0 = jnp.minimum(hits0, 1.0)
+        sh["d0_p"] = jnp.clip(sh["d0_p"] + r0 * delta0, 1e-4, 1 - 1e-4)
+        sh["d0_c"] = jnp.minimum(c0 + hits0, float(CNT_CAP))
 
     # ---- d1/d2 arena: masked row updates, one scatter (dense form --
     # see the bank note above)
-    newd = jnp.where(onp_b[:, None, :],
-                     _slot_update(aux["d12rows"], target[:, None, :]),
-                     aux["d12rows"])
-    sh["d12"] = sh["d12"].at[aux["d12_idx"]].set(newd)
+    if PORT:
+        newd = jnp.where(onp_b[:, None, :],
+                         _slot_update_int(aux["d12rows"],
+                                          target_i[:, None, :]),
+                         aux["d12rows"])
+        win_d = _claim_win(D12_ROWS, aux["d12_idx"], B)
+        d12_w = jnp.where(win_d, aux["d12_idx"], D12_ROWS)
+        sh["d12"] = sh["d12"].at[d12_w].set(newd, mode="drop")
+    else:
+        newd = jnp.where(onp_b[:, None, :],
+                         _slot_update(aux["d12rows"], target[:, None, :]),
+                         aux["d12rows"])
+        sh["d12"] = sh["d12"].at[aux["d12_idx"]].set(newd)
 
     # ---- PPM: increment the observed byte's count; halve the whole row
     # first when that count would overflow uint8 (rescale ~ ppmd.cpp
     # rescale semantics: halving preserves ratios, decays old evidence)
-    obs = jnp.take_along_axis(
-        aux["ppm_rows"], byte[:, None, None], axis=2)        # (B, NP, 1)
+    # byte one-hot selection instead of take_along_axis: dynamic gathers
+    # run per-element on the scalar core (~12 ns each); a single-nonzero
+    # one-hot contraction is a dense vector op with the identical result
+    byte_ohi = (jnp.asarray(_NODE)[None, :]
+                == byte[:, None]).astype(jnp.int32)          # (B, 256)
+    obs = jnp.einsum("bk,bnk->bn", byte_ohi,
+                     aux["ppm_rows"].astype(jnp.int32)
+                     )[:, :, None].astype(jnp.uint8)         # (B, NP, 1)
     if PPM_UPD:
         # update exclusion: bump only orders >= the highest order that
         # already contained the byte (all orders when it is novel) --
@@ -1211,22 +1560,51 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     needs_halve = (obs >= jnp.uint8(256 - PPM_INC)) & upd
     prow_new = jnp.where(needs_halve, aux["ppm_rows"] >> jnp.uint8(1),
                          aux["ppm_rows"])
-    byte_oh = (jnp.asarray(_NODE)[None, None, :]
-               == byte[:, None, None]).astype(jnp.uint8)
+    byte_oh = byte_ohi.astype(jnp.uint8)[:, None, :]
     prow_new = prow_new + byte_oh * jnp.where(
         upd, jnp.uint8(PPM_INC), jnp.uint8(0))
     p_ar = jnp.arange(N_PPM)
-    sh["ppm"] = sh["ppm"].at[p_ar[None, :], aux["prowi"]].set(prow_new)
+    if PORT:
+        win_p = _claim_win(N_PPM * cfg.prows,
+                           p_ar[None, :] * cfg.prows + aux["prowi"], B)
+        prowi_w = jnp.where(win_p, aux["prowi"], cfg.prows)
+        sh["ppm"] = sh["ppm"].at[
+            p_ar[None, :], prowi_w].set(prow_new, mode="drop")
+    else:
+        sh["ppm"] = sh["ppm"].at[p_ar[None, :], aux["prowi"]].set(prow_new)
 
     # ---- SEE: adapt escape estimates toward observed escape events
     # (escape at order o <=> the coded byte had count 0 in that row;
     # under exclusion, count 0 in the EXCLUDED distribution)
-    obs_eff = jnp.take_along_axis(
-        aux["pcnt_eff"], byte[:, None, None], axis=2)        # (B, NP, 1)
+    obs_eff = jnp.einsum(
+        "bk,bnk->bn", byte_ohi.astype(aux["pcnt_eff"].dtype),
+        aux["pcnt_eff"])[:, :, None]                         # (B, NP, 1)
+    if PORT:
+        esc_ti = (obs_eff[:, :, 0] == 0).astype(jnp.int32) * 4096
+        see_mi = (aux["ptot"] > 0).astype(jnp.int32)
+        d_see_i = (((esc_ti - aux["see_p"]) * 82) >> 12) * see_mi
+        if STAT_NORM:
+            see_cnt = jnp.zeros_like(sh["ppm_see"]).at[
+                p_ar[None, :], aux["see_d"], aux["see_t"]].add(see_mi)
+            see_acc = jnp.zeros_like(sh["ppm_see"]).at[
+                p_ar[None, :], aux["see_d"], aux["see_t"]].add(d_see_i)
+            sh["ppm_see"] = jnp.clip(
+                sh["ppm_see"] + see_acc // jnp.maximum(see_cnt, 1),
+                4, 3891)
+        else:
+            sh["ppm_see"] = jnp.clip(
+                sh["ppm_see"].at[p_ar[None, :], aux["see_d"],
+                                 aux["see_t"]].add(d_see_i), 4, 3891)
+        _see_done = True
+    else:
+        _see_done = False
     esc_t = (obs_eff[:, :, 0] == 0).astype(jnp.float32)      # (B, NP)
     see_msk = (aux["ptot"] > 0).astype(jnp.float32)
-    d_see = SEE_RATE * (esc_t - aux["see_p"]) * see_msk
-    if STAT_NORM:
+    d_see = (SEE_RATE * (esc_t - aux["see_p"].astype(jnp.float32))
+             * see_msk)
+    if _see_done:
+        pass
+    elif STAT_NORM:
         see_cnt = jnp.zeros_like(sh["ppm_see"]).at[
             p_ar[None, :], aux["see_d"], aux["see_t"]].add(see_msk)
         see_acc = jnp.zeros_like(sh["ppm_see"]).at[
@@ -1245,66 +1623,132 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     # tiny transition table was the profiled hot spot), adapt the shared
     # per-(model, state) probability (src/models/indirect.cpp:16-31),
     # and re-pack the new state's current stretch into the slot.
+    # All path-node and per-state indexing below is one-hot contraction
+    # instead of take_along_axis/scatter: single-nonzero sums are exact
+    # in any dtype and run dense on the VPU/MXU, while dynamic gathers
+    # cost ~12 ns/element on the scalar core (the profiled cost center).
     s_ar = jnp.arange(N_SBANK)
-    n8_s = jnp.broadcast_to(n8[:, None, :], (B, N_SBANK, 8)).astype(
-        jnp.int32)
-    s8p = jnp.take_along_axis(aux["srows"], n8_s, axis=2)    # (B, NS, 8) u32
-    s8 = (s8p & jnp.uint32(0xFF)).astype(jnp.int32)          # states
+    oh8i = (n8[:, :, None] == jnp.asarray(_NODE)[None, None, :]
+            ).astype(jnp.int32)                              # (B, 8, 256)
+    s8p = jnp.einsum("bok,bnk->bno", oh8i,
+                     aux["srows"].astype(jnp.int32))         # (B, NS, 8)
+    s8 = s8p & 0xFF                                          # states
     t8_i = jnp.broadcast_to(
         t8.astype(jnp.int32)[:, None, :], (B, N_SBANK, 8))
-    nxt8 = jnp.asarray(_SBANK_NEXT)[
-        s_ar[None, :, None], s8, t8_i].astype(jnp.int32)     # (B, NS, 8)
-    pm = sh["sbank_p"][s_ar[None, :, None], s8]              # (B, NS, 8)
-    errs = t8[:, None, :] - pm
-    if SBANK_ADAPT:
-        rate8 = jnp.maximum(SBANK_RATE, 1.0 / (sh["sbank_c"] + 2.0))[
-            s_ar[None, :, None], s8]                         # (B, NS, 8)
-    else:
-        rate8 = SBANK_RATE
-    if STAT_NORM:
-        sb_cnt = jnp.zeros_like(sh["sbank_p"]).at[
-            s_ar[None, :, None], s8].add(1.0)
-        sb_acc = jnp.zeros_like(sh["sbank_p"]).at[
-            s_ar[None, :, None], s8].add(rate8 * errs)
-        sh["sbank_p"] = jnp.clip(
-            sh["sbank_p"] + sb_acc / jnp.maximum(sb_cnt, 1.0),
-            1e-4, 1 - 1e-4)
+    ohs = (s8[..., None] == jnp.arange(256)[None, None, None, :]
+           ).astype(jnp.int32)                               # (B,NS,8,256)
+    nxt0 = jnp.einsum("bnos,ns->bno", ohs,
+                      jnp.asarray(_SBANK_NEXT[:, :, 0].astype(np.int32)))
+    nxt1 = jnp.einsum("bnos,ns->bno", ohs,
+                      jnp.asarray(_SBANK_NEXT[:, :, 1].astype(np.int32)))
+    nxt8 = jnp.where(t8_i == 1, nxt1, nxt0)                  # (B, NS, 8)
+    ohn = (nxt8[..., None] == jnp.arange(256)[None, None, None, :]
+           ).astype(jnp.int32)
+    m8 = jnp.sum(oh8i, axis=1)                               # (B, 256) 0/1
+    if PORT:
+        pm12 = jnp.einsum("bnos,ns->bno", ohs, sh["sbank_p"])
+        errs12 = t8_i * 4096 - pm12
         if SBANK_ADAPT:
-            # one shared visit per step per state (batch-invariant)
-            sh["sbank_c"] = jnp.minimum(
-                sh["sbank_c"] + (sb_cnt > 0), 1024.0)
-    else:
-        sh["sbank_p"] = jnp.clip(
-            sh["sbank_p"].at[s_ar[None, :, None], s8].add(
-                rate8 * errs),
-            1e-4, 1 - 1e-4)
+            r16s = jnp.einsum(
+                "bnos,ns->bno", ohs,
+                jnp.maximum(1311, 65536 // (sh["sbank_c"] + 2)))
+        else:
+            r16s = 1311                                      # 0.02 * 65536
+        d12s = (r16s * errs12) >> 16
+        sb_cnt = jnp.einsum("bnos->ns", ohs)
+        sb_acc = jnp.einsum("bnos,bno->ns", ohs, d12s)
+        if STAT_NORM:
+            sh["sbank_p"] = jnp.clip(
+                sh["sbank_p"] + sb_acc // jnp.maximum(sb_cnt, 1),
+                1, 4095)
+        else:
+            sh["sbank_p"] = jnp.clip(sh["sbank_p"] + sb_acc, 1, 4095)
         if SBANK_ADAPT:
             sh["sbank_c"] = jnp.minimum(
-                sh["sbank_c"].at[s_ar[None, :, None], s8].add(1.0),
-                1024.0)
-    p_nxt = sh["sbank_p"][s_ar[None, :, None], nxt8]         # (B, NS, 8)
-    st13 = jnp.clip(_stretch_f(p_nxt) * 256.0 + 4096.0,
-                    0, 8191).astype(jnp.uint32)
-    packed = nxt8.astype(jnp.uint32) | (st13 << U8)
-    new_srows = aux["srows"].at[
-        bar[:, None, None], s_ar[None, :, None], n8_s].set(packed)
-    sh["sbank"] = sh["sbank"].at[s_ar[None, :], aux["srowi"]].set(new_srows)
+                sh["sbank_c"] + (sb_cnt if not STAT_NORM else
+                                 (sb_cnt > 0).astype(jnp.int32)), 1024)
+        p_nxt12 = jnp.einsum("bnos,ns->bno", ohn, sh["sbank_p"])
+        st13s = stretch13_from_p12(p_nxt12).astype(jnp.uint32)
+        packed = nxt8.astype(jnp.uint32) | (st13s << U8)
+        vals_d = jnp.einsum("bok,bno->bnk", oh8i,
+                            packed.astype(jnp.int32)).astype(jnp.uint32)
+        new_srows = jnp.where(m8[:, None, :] > 0, vals_d, aux["srows"])
+        win_s = _claim_win(N_SBANK * cfg.rows,
+                           s_ar[None, :] * cfg.rows + aux["srowi"], B)
+        srowi_w = jnp.where(win_s, aux["srowi"], cfg.rows)
+        sh["sbank"] = sh["sbank"].at[
+            s_ar[None, :], srowi_w].set(new_srows, mode="drop")
+    else:
+        ohs_f = ohs.astype(jnp.float32)
+        pm = jnp.einsum("bnos,ns->bno", ohs_f, sh["sbank_p"])
+        errs = t8[:, None, :] - pm
+        if SBANK_ADAPT:
+            rate8 = jnp.einsum(
+                "bnos,ns->bno", ohs_f,
+                jnp.maximum(SBANK_RATE, 1.0 / (sh["sbank_c"] + 2.0)))
+        else:
+            rate8 = SBANK_RATE
+        sb_cnt = jnp.einsum("bnos->ns", ohs_f)
+        sb_acc = jnp.einsum("bnos,bno->ns", ohs_f, rate8 * errs)
+        if STAT_NORM:
+            sh["sbank_p"] = jnp.clip(
+                sh["sbank_p"] + sb_acc / jnp.maximum(sb_cnt, 1.0),
+                1e-4, 1 - 1e-4)
+            if SBANK_ADAPT:
+                # one shared visit per step per state (batch-invariant)
+                sh["sbank_c"] = jnp.minimum(
+                    sh["sbank_c"] + (sb_cnt > 0), 1024.0)
+        else:
+            sh["sbank_p"] = jnp.clip(sh["sbank_p"] + sb_acc,
+                                     1e-4, 1 - 1e-4)
+            if SBANK_ADAPT:
+                sh["sbank_c"] = jnp.minimum(sh["sbank_c"] + sb_cnt,
+                                            1024.0)
+        p_nxt = jnp.einsum("bnos,ns->bno", ohn.astype(jnp.float32),
+                           sh["sbank_p"])                    # (B, NS, 8)
+        st13 = jnp.clip(_stretch_f(p_nxt) * 256.0 + 4096.0,
+                        0, 8191).astype(jnp.uint32)
+        packed = nxt8.astype(jnp.uint32) | (st13 << U8)
+        vals_d = jnp.einsum("bok,bno->bnk", oh8i,
+                            packed.astype(jnp.int32)).astype(jnp.uint32)
+        new_srows = jnp.where(m8[:, None, :] > 0, vals_d, aux["srows"])
+        sh["sbank"] = sh["sbank"].at[
+            s_ar[None, :], aux["srowi"]].set(new_srows)
 
     # ---- match confidence: dense one-hot aggregation (no scatter)
-    hit = (aux["exp_bit"].astype(jnp.float32) == target[:, None, :])
-    af = aux["alive"].astype(jnp.float32)
-    wsum = af * on_path[:, None, :]                          # (B, 2, 256)
-    n_alive = jnp.sum(wsum, axis=2)                          # (B, 2)
-    frac_hit = jnp.sum(hit * wsum, axis=2) / jnp.maximum(n_alive, 1.0)
-    derr = (frac_hit - aux["conf"]) * 0.03 * jnp.minimum(n_alive, 1.0)
-    oh_len = (jnp.arange(32)[None, None, :]
-              == aux["lenb"][:, :, None]).astype(jnp.float32)
-    d_mc = jnp.sum(oh_len * derr[:, :, None], axis=0)        # (NM, 32)
-    if STAT_NORM:
-        active = (jnp.abs(derr) > 0).astype(jnp.float32)
-        n_mc = jnp.sum(oh_len * active[:, :, None], axis=0)
-        d_mc = d_mc / jnp.maximum(n_mc, 1.0)
-    sh["match_conf"] = jnp.clip(sh["match_conf"] + d_mc, 1e-3, 1 - 1e-3)
+    if PORT:
+        hit_i = (aux["exp_bit"] == target_i[:, None, :]).astype(jnp.int32)
+        w_i = aux["alive"].astype(jnp.int32) * \
+            on_path.astype(jnp.int32)[:, None, :]            # (B, NM, 256)
+        n_al = jnp.sum(w_i, axis=2)                          # (B, NM)
+        frac12 = (jnp.sum(hit_i * w_i, axis=2) << 12) \
+            // jnp.maximum(n_al, 1)
+        derr_i = (((frac12 - aux["conf"]) * 123) >> 12) \
+            * jnp.minimum(n_al, 1)                           # 0.03 * 4096
+        oh_i = (jnp.arange(32)[None, None, :]
+                == aux["lenb"][:, :, None]).astype(jnp.int32)
+        d_mc_i = jnp.sum(oh_i * derr_i[:, :, None], axis=0)  # (NM, 32)
+        if STAT_NORM:
+            act = (derr_i != 0).astype(jnp.int32)
+            n_mc = jnp.sum(oh_i * act[:, :, None], axis=0)
+            d_mc_i = d_mc_i // jnp.maximum(n_mc, 1)
+        sh["match_conf"] = jnp.clip(sh["match_conf"] + d_mc_i, 4, 4092)
+    else:
+        hit = (aux["exp_bit"].astype(jnp.float32) == target[:, None, :])
+        af = aux["alive"].astype(jnp.float32)
+        wsum = af * on_path[:, None, :]                      # (B, 2, 256)
+        n_alive = jnp.sum(wsum, axis=2)                      # (B, 2)
+        frac_hit = jnp.sum(hit * wsum, axis=2) / jnp.maximum(n_alive, 1.0)
+        derr = (frac_hit - aux["conf"]) * 0.03 * jnp.minimum(n_alive, 1.0)
+        oh_len = (jnp.arange(32)[None, None, :]
+                  == aux["lenb"][:, :, None]).astype(jnp.float32)
+        d_mc = jnp.sum(oh_len * derr[:, :, None], axis=0)    # (NM, 32)
+        if STAT_NORM:
+            active = (jnp.abs(derr) > 0).astype(jnp.float32)
+            n_mc = jnp.sum(oh_len * active[:, :, None], axis=0)
+            d_mc = d_mc / jnp.maximum(n_mc, 1.0)
+        sh["match_conf"] = jnp.clip(sh["match_conf"] + d_mc,
+                                    1e-3, 1 - 1e-3)
     if VMATCH:
         v_af = aux["valive"].astype(jnp.float32)             # (B,)
         vhit = (aux["vexp"] == byte).astype(jnp.float32)
@@ -1320,6 +1764,8 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     if LMS:
         lhit = (aux["lms_pbyte"] == byte).astype(jnp.float32)
         lderr = (lhit - aux["lms_conf"]) * 0.02
+        if LMS == 2:   # only media blocks teach the shared conf table
+            lderr = lderr * aux["lms_med"].astype(jnp.float32)
         loh = (jnp.arange(16)[None, :]
                == aux["lms_errb"][:, None]).astype(jnp.float32)
         d_lm = jnp.sum(loh * lderr[:, None], axis=0)
@@ -1329,6 +1775,9 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
             sh["lms_conf"] + d_lm, 1e-3, 1 - 1e-3)
 
     # ---- mixers
+    if PORT:
+        return _update_mixers_int(cfg, sh, aux, target_i, on_path, n8,
+                                  t8, B)
     B_f = 1.0 / B if MIX_NORM else 1.0       # dense-row mean vs sum
     err1 = (target[:, None, :] - aux["p1"]) * on_path[:, None, :]  # (B,8,256)
     dws = jnp.einsum("bmk,bnk->bmn", err1, aux["x"])         # (B, 8, NIN)
@@ -1378,13 +1827,14 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     sh["bias3"] = sh["bias3"] + lr * B_f * jnp.sum(err3, axis=0)
 
     # ---- APMs: in-row one-hot updates, one row scatter
-    p_tree_p = jnp.take_along_axis(aux["p_tree"], n8, axis=1)  # (B, 8)
+    oh8f = oh8i.astype(jnp.float32)                          # (B, 8, 256)
+    p_tree_p = jnp.einsum("bok,bk->bo", oh8f, aux["p_tree"])  # (B, 8)
     errp = (t8 - p_tree_p) * APM_RATE
     j33 = jnp.arange(33)
 
     def apm_row_delta(tl, frac):
-        tl_p = jnp.take_along_axis(tl, n8, axis=1)           # (B, 8)
-        f_p = jnp.take_along_axis(frac, n8, axis=1)
+        tl_p = jnp.einsum("bok,bk->bo", oh8i, tl)            # (B, 8)
+        f_p = jnp.einsum("bok,bk->bo", oh8f, frac)
         oh_l = (j33[None, None, :] == tl_p[:, :, None]).astype(jnp.float32)
         oh_r = (j33[None, None, :]
                 == (tl_p + 1)[:, :, None]).astype(jnp.float32)
@@ -1415,6 +1865,118 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     return sh
 
 
+def _update_mixers_int(cfg, sh, aux, target_i, on_path, n8, t8, B):
+    """Integer mixer/APM/final-blend updates (portable profile).
+
+    Errors are p12 (target*4096 - p12), inputs st256; weight deltas land
+    in 16-bit-fraction weights as (lr12 * ((err*x) >> 8)) >> 8, biases
+    in 16-bit-fraction ln units as (lr12 * err12) >> 8.  Aggregations
+    over the batch are integer scatter-adds (associative, so exact on
+    every backend); MIX_NORM means are integer divisions.  Weights clip
+    to +-8*65536 (the _idot overflow bound)."""
+    lr12 = max(1, int(round(MIX_LR * 4096)))
+    onp_i = on_path.astype(jnp.int32)
+    lvl_i = jnp.asarray(_LVL_ONEHOT.astype(np.int32))        # (8, 256)
+    x = aux["x"]
+
+    err1 = (target_i[:, None, :] * 4096 - aux["p1"]) \
+        * onp_i[:, None, :]                                  # (B, M1, 256)
+    dws8 = jnp.einsum("bmk,bnk->bmn", err1, x) >> 8          # (B, M1, NIN)
+    agg_c = jnp.sum(dws8[:, 0], axis=0)
+    if MIX_NORM:
+        agg_c = agg_c // B
+    w1 = sh["w1"].at[0].set(
+        jnp.clip(aux["w_const"] + ((lr12 * agg_c) >> 8),
+                 -524288, 524288))
+    dl3 = jnp.einsum("lk,bk,bnk->lbn", lvl_i, err1[:, 1], x)  # (8, B, NIN)
+    dl = jnp.sum(dl3 >> 8, axis=1)
+    if MIX_NORM:
+        dl = dl // B
+    w1 = jax.lax.dynamic_update_slice_in_dim(
+        w1, jnp.clip(aux["w_level"] + ((lr12 * dl) >> 8),
+                     -524288, 524288), 1, axis=0)
+    cnt1 = jnp.zeros(_MIX1_TOTAL, jnp.int32).at[aux["dyn_idx"]].add(1)
+    acc1 = jnp.zeros((_MIX1_TOTAL, N_INPUTS),
+                     jnp.int32).at[aux["dyn_idx"]].add(dws8[:, 2:])
+    if MIX_NORM:
+        acc1 = acc1 // jnp.maximum(cnt1[:, None], 1)
+    sh["w1"] = jnp.clip(w1 + ((lr12 * acc1) >> 8), -524288, 524288)
+    db1 = jnp.sum(err1, axis=0)
+    if MIX_NORM:
+        db1 = db1 // B
+    sh["bias1"] = sh["bias1"] + ((lr12 * db1) >> 8)
+
+    err2 = (target_i[:, None, :] * 4096 - aux["p2"]) \
+        * onp_i[:, None, :]                                  # (B, 3, 256)
+    d23 = jnp.einsum("lk,bk,bmk->lbm", lvl_i, err2[:, 0], aux["st1"])
+    dw2 = jnp.sum(d23 >> 8, axis=1)
+    if MIX_NORM:
+        dw2 = dw2 // B
+    sh["w2"] = jnp.clip(sh["w2"] + ((lr12 * dw2) >> 8), -524288, 524288)
+    dw2b = jnp.einsum("bk,bmk->bm", err2[:, 1], aux["st1"]) >> 8
+    dw2c = jnp.einsum("bk,bmk->bm", err2[:, 2], aux["st1"]) >> 8
+    cb = jnp.zeros(256, jnp.int32).at[aux["b1"]].add(1)
+    ab = jnp.zeros((256, M2IN), jnp.int32).at[aux["b1"]].add(dw2b)
+    cc = jnp.zeros(64, jnp.int32).at[aux["clsg"]].add(1)
+    ac = jnp.zeros((64, M2IN), jnp.int32).at[aux["clsg"]].add(dw2c)
+    if MIX_NORM:
+        ab = ab // jnp.maximum(cb[:, None], 1)
+        ac = ac // jnp.maximum(cc[:, None], 1)
+    sh["w2b"] = jnp.clip(sh["w2b"] + ((lr12 * ab) >> 8), -524288, 524288)
+    sh["w2c"] = jnp.clip(sh["w2c"] + ((lr12 * ac) >> 8), -524288, 524288)
+    db2 = jnp.sum(err2, axis=0)
+    if MIX_NORM:
+        db2 = db2 // B
+    sh["bias2"] = sh["bias2"] + ((lr12 * db2) >> 8)
+
+    err3 = (target_i * 4096 - aux["p_mix"]) * onp_i          # (B, 256)
+    d33 = jnp.einsum("lk,bk,bjk->lbj", lvl_i, err3, aux["st2"])
+    dw3 = jnp.sum(d33 >> 8, axis=1)
+    if MIX_NORM:
+        dw3 = dw3 // B
+    sh["w3"] = jnp.clip(sh["w3"] + ((lr12 * dw3) >> 8), -524288, 524288)
+    db3 = jnp.sum(err3, axis=0)
+    if MIX_NORM:
+        db3 = db3 // B
+    sh["bias3"] = sh["bias3"] + ((lr12 * db3) >> 8)
+
+    # ---- APMs: integer deltas, associative scatter-ADD + dense clip
+    # (the table is small, so the dense clip is cheap)
+    oh8m = (n8[:, :, None] == jnp.asarray(_NODE)[None, None, :]
+            ).astype(jnp.int32)                              # (B, 8, 256)
+    ptree12_p = jnp.einsum("bok,bk->bo", oh8m, aux["p_tree12"])  # (B, 8)
+    t8i = t8.astype(jnp.int32)
+    errp12 = (((t8i * 4096 - ptree12_p) * 82) >> 12)         # 0.02 * 4096
+    j33 = jnp.arange(33)
+
+    def apm_row_delta_i(tl, fr):
+        tl_p = jnp.einsum("bok,bk->bo", oh8m, tl)            # (B, 8)
+        f_p = jnp.einsum("bok,bk->bo", oh8m, fr)
+        oh_l = (j33[None, None, :] == tl_p[:, :, None]).astype(jnp.int32)
+        oh_r = (j33[None, None, :]
+                == (tl_p + 1)[:, :, None]).astype(jnp.int32)
+        return jnp.sum(
+            oh_l * (((128 - f_p) * errp12) >> 7)[:, :, None]
+            + oh_r * ((f_p * errp12) >> 7)[:, :, None], axis=1)
+
+    d_apm = jnp.stack([apm_row_delta_i(t, f)
+                       for t, f in zip(aux["tls"], aux["frs"])], axis=1)
+    acc_apm = jnp.zeros_like(sh["apm"]).at[aux["apm_idx"]].add(d_apm)
+    sh["apm"] = jnp.clip(sh["apm"] + acc_apm, 1, 4095)
+
+    if W_APM_LEARN:
+        err_f = (target_i * 4096 - aux["p_tree12"]) * onp_i  # (B, 256)
+        dwa = jnp.einsum("bk,bjk->bj", err_f, aux["st_in"]) >> 8
+        cnt = jnp.zeros(64, jnp.int32).at[aux["longest"]].add(1)
+        acc = jnp.zeros((64, 1 + N_APM),
+                        jnp.int32).at[aux["longest"]].add(dwa)
+        sh["w_apm"] = jnp.clip(
+            sh["w_apm"] + ((lr12 * (acc // jnp.maximum(cnt[:, None], 1)))
+                           >> 8),
+            -262144, 262144)
+    return sh
+
+
 def _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev, ind_prev_val):
     """Match-cursor repositioning + match/indirect table writes, merged
     into ONE scatter on the shared aux arena
@@ -1438,7 +2000,13 @@ def _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev, ind_prev_val):
     widx = jnp.concatenate(
         [midx, ind_off[None, :] + ind_key_prev], axis=1)     # (B, NM+NI)
     wval = jnp.concatenate([ins, newv], axis=1)
-    sh["aux_tbl"] = sh["aux_tbl"].at[widx].set(wval)
+    if PORT:
+        n_aux = sh["aux_tbl"].shape[0]
+        win_a = _claim_win(n_aux, widx, B)
+        widx_w = jnp.where(win_a, widx, n_aux)
+        sh["aux_tbl"] = sh["aux_tbl"].at[widx_w].set(wval, mode="drop")
+    else:
+        sh["aux_tbl"] = sh["aux_tbl"].at[widx].set(wval)
 
     pred = pb["hist"][pb["mp_blk"],
                       jnp.clip(pb["mp_pos"], 0, cfg.block_size - 1)
@@ -1461,11 +2029,18 @@ def make_byte_step(cfg: EngineConfig):
     imask = jnp.uint32((1 << cfg.ibits) - 1)
 
     def ind_keys(cs):
-        """(B, N_IND) int32 keys of the double-indirect variants."""
+        """(B, N_IND) int32 keys of the double-indirect variants
+        (cf. the reference's 11 Indirect-over-IndirectHash models,
+        src/predictor.cpp:166-178; first 4 are the round-1 set)."""
         ks = [cs["last4"] & imask,
               cs["last4"] & jnp.uint32(0xFF),
               cs["ohash"][:, 3] & imask,
-              cs["word"] & imask]
+              cs["word"] & imask,
+              cs["ohash"][:, 2] & imask,
+              cs["ohash"][:, 4] & imask,
+              cs["clsreg"] & imask,
+              ((cs["last4"] >> U8) & jnp.uint32(0xFFFF)) & imask]
+        assert N_IND <= len(ks), "extend ind_keys for larger CMIX_N_IND"
         return jnp.stack(ks[:N_IND], axis=1).astype(jnp.int32)
 
     def byte_step(sh, pb, cd, comp, inp_byte_b, t, mode):
@@ -1478,8 +2053,11 @@ def make_byte_step(cfg: EngineConfig):
         ind_prev_val = sh["aux_tbl"][ind_off[None, :] + ind_key_prev]
 
         p_tree, aux = _predict_tree_b(cfg, sh, pb, t)
-        p16_tree = jnp.clip((p_tree * 65536.0).astype(jnp.int32),
-                            64, 65472)
+        if PORT:
+            p16_tree = p_tree                    # already int p16, clipped
+        else:
+            p16_tree = jnp.clip((p_tree * 65536.0).astype(jnp.int32),
+                                64, 65472)
         vf = sh["vocab_force"][None, :]
         p16_tree = jnp.where(vf == 1, 64,
                              jnp.where(vf == 2, 65472, p16_tree)
@@ -1490,8 +2068,11 @@ def make_byte_step(cfg: EngineConfig):
         emits = []
         c32 = jnp.zeros(B, jnp.uint32)
         for k in range(8):
-            p16 = jnp.take_along_axis(
-                p16_tree, byte_acc[:, None], axis=1)[:, 0]
+            # one-hot select (single nonzero, exact) -- dynamic gathers
+            # at (B,) shape still pay per-element scalar-core cost
+            p16 = jnp.sum(jnp.where(
+                jnp.asarray(_NODE)[None, :] == byte_acc[:, None],
+                p16_tree, jnp.uint32(0)), axis=1)
             enc_bit = ((inp_byte_b.astype(jnp.int32) >> (7 - k)) & 1)
             cd, bit, e32, kk = _coder_bit_b(cd, comp, enc_bit, p16, mode)
             emits.append(e32)

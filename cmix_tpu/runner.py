@@ -470,7 +470,15 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, metavar="JOURNAL",
                     help="failure-recovery journal: completed coding "
                     "groups are saved there and skipped on restart")
+    ap.add_argument("--portable", action="store_true",
+                    help="portable profile: integer model math, archives "
+                    "decode bit-exactly on any platform/executable "
+                    "(LSTM and DMC are excluded; some ratio is traded "
+                    "for portability, like the reference's -O3 vs "
+                    "-Ofast)")
     args = ap.parse_args(argv)
+    if args.portable and engine.update_gates({"PORT": 1}):
+        _TRANSCODER_CACHE.clear()
 
     from cmix_tpu.utils.profiling import Meter, trace
     meter = Meter() if (args.stats or args.profile) else None
@@ -479,7 +487,8 @@ def main(argv=None):
     t0 = time.time()
     if args.mode in ("c", "t"):
         cfg = EngineConfig(block_size=args.block_size, tbits=args.tbits,
-                           lstm_hidden=args.lstm, dmc_nodes=args.dmc)
+                           lstm_hidden=0 if args.portable else args.lstm,
+                           dmc_nodes=0 if args.portable else args.dmc)
         with trace(args.profile):
             out = compress(data, cfg, max_batch=args.max_batch,
                            dictionary=args.dictionary, meter=meter,
