@@ -54,6 +54,35 @@ def test_broadcast_state_replicates():
     np.testing.assert_array_equal(np.asarray(rep["w"]), state["w"])
 
 
+def test_two_process_gather_and_broadcast():
+    """REAL multi-process path (SURVEY section 4): two OS processes, 4
+    virtual CPU devices each, one global dp=8 mesh; cross-process
+    ordered gather preserves block order and broadcast replicates."""
+    import subprocess
+    import sys
+    import os
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    env["PYTHONPATH"] = "/root/repo"
+    coord = "localhost:12473"
+    procs = [subprocess.Popen(
+        [sys.executable, "/root/repo/tests/mp_worker.py",
+         str(r), "2", coord],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for r in range(2)]
+    outs = []
+    for pr in procs:
+        try:
+            out, err = pr.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((pr.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0 and "OK" in out, (rc, out, err[-2000:])
+
+
 def test_meter_report():
     m = Meter()
     with m.phase("compile"):
