@@ -109,7 +109,7 @@ _GATE_SPEC = (
     ("APM2X", int, "0"),
     ("APM_FIXED", int, "0"),
     ("CNT_CAP", int, "60"),
-    ("DMC_LEVELS", int, "6"),
+    ("DMC_LEVELS", int, "8"),
     ("PORT", int, "0"),
 )
 GATES = {}          # live normalized gate values (str -> str)
@@ -2096,9 +2096,7 @@ def make_byte_step(cfg: EngineConfig):
 
         if cfg.dmc_nodes:
             pb.update(dmc.byte_update(
-                {k: pb[k] for k in
-                 ("dmc_nxt", "dmc_cnt", "dmc_p", "dmc_cur", "dmc_top")},
-                byte))
+                {k: pb[k] for k in dmc.DMC_KEYS}, byte))
 
         # ---- record-length voting: two consecutive equal gaps of the
         # same byte value nominate a record length; agreement with the

@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from cmix_tpu.models.dmc import (
-    init_dmc_perblock, predict_tree, byte_update, N_BASE)
+    init_dmc_perblock, predict_tree, byte_update, N_BASE, DMC_KEYS)
 
 
 def _batched(n_nodes, b):
@@ -25,8 +25,7 @@ def test_learns_repeated_byte():
     pb = _batched(8192, 1)
     for _ in range(30):
         pb = dict(pb, **byte_update(
-            {k: pb[k] for k in
-             ("dmc_nxt", "dmc_cnt", "dmc_p", "dmc_cur", "dmc_top")},
+            {k: pb[k] for k in DMC_KEYS},
             jnp.asarray([0x41])))
     p = np.asarray(predict_tree(pb))[0]
     # after seeing 'A' (01000001) repeatedly, the root bit (node 1,
@@ -41,15 +40,14 @@ def test_cloning_grows_and_freezes():
     data = (b"the quick brown fox " * 8)
     for ch in data:
         pb = dict(pb, **byte_update(
-            {k: pb[k] for k in
-             ("dmc_nxt", "dmc_cnt", "dmc_p", "dmc_cur", "dmc_top")},
+            {k: pb[k] for k in DMC_KEYS},
             jnp.asarray([ch])))
     top = int(np.asarray(pb["dmc_top"])[0])
-    n = pb["dmc_nxt"].shape[-1] // 2
+    n = pb["dmc_nxt"].shape[-1]
     assert N_BASE < top <= n          # cloned, then froze at the cap
-    # machine stays well-formed: all pointers inside the pool
-    assert int(np.asarray(pb["dmc_nxt"]).max()) < n
-    assert int(np.asarray(pb["dmc_nxt"]).min()) >= 0
+    # machine stays well-formed: all (packed) pointers inside the pool
+    w = np.asarray(pb["dmc_nxt"])
+    assert int((w & 0xFFFF).max()) < n and int((w >> 16).max()) < n
 
 
 def test_distinct_streams_distinct_state():
@@ -57,8 +55,7 @@ def test_distinct_streams_distinct_state():
     for i in range(40):
         byte = jnp.asarray([0x41, 0x42])
         pb = dict(pb, **byte_update(
-            {k: pb[k] for k in
-             ("dmc_nxt", "dmc_cnt", "dmc_p", "dmc_cur", "dmc_top")}, byte))
+            {k: pb[k] for k in DMC_KEYS}, byte))
     p = np.asarray(predict_tree(pb))
     # lane 0 saw 'A' (bit1 of 01000001 = 1), lane 1 'B' (01000010):
     # at node 64+1 (prefix 0100000) they must disagree about the last bits
