@@ -103,6 +103,169 @@ def _parse_pnm(data, i):
     return MediaSpan("img24" if is_ppm else "img8", j, n, w * cell, cell)
 
 
+def _parse_pbm(data, i):
+    """Binary PBM (P4) at offset i: 1-bit packed bitmap.  The engine has
+    no dedicated 1-bit model (reference: im1bitModel, paq8.cpp:4634);
+    the span routes the packed rows to the stride-addressed grid
+    contexts as an 8bpp-class region (row stride = ceil(w/8))."""
+    if i + 2 > len(data) or data[i] != 0x50 or data[i + 1] != 0x34:
+        return None
+    j = i + 2
+    fields = []
+    while len(fields) < 2 and j < min(len(data), i + 256):
+        c = data[j]
+        if c in b" \t\r\n":
+            j += 1
+        elif c == 0x23:                       # '#' comment to EOL
+            while j < len(data) and data[j] != 0x0A:
+                j += 1
+        elif 0x30 <= c <= 0x39:
+            v = 0
+            while j < len(data) and 0x30 <= data[j] <= 0x39:
+                v = v * 10 + data[j] - 0x30
+                j += 1
+            fields.append(v)
+        else:
+            return None
+    if len(fields) < 2 or j >= len(data) or data[j] not in b" \t\r\n":
+        return None
+    j += 1
+    w, h = fields
+    if not (0 < w < 0x40000 and 0 < h < 0x40000):
+        return None
+    rowbytes = (w + 7) // 8
+    n = rowbytes * h
+    if j + n > len(data) or n < 256:
+        return None
+    return MediaSpan("img8", j, n, rowbytes, 1)
+
+
+def _parse_pam(data, i):
+    """PAM (P7) at offset i (cf. the reference's PAM branch of detect(),
+    src/preprocess/preprocessor.cpp:221-289): token header up to ENDHDR,
+    then raw samples."""
+    if data[i:i + 3] != b"P7\n":
+        return None
+    end = data.find(b"ENDHDR\n", i, i + 512)
+    if end == -1:
+        return None
+    w = h = depth = maxval = None
+    for line in data[i + 3:end].split(b"\n"):
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        key, val = parts
+        if not val.isdigit():
+            continue
+        v = int(val)
+        if key == b"WIDTH":
+            w = v
+        elif key == b"HEIGHT":
+            h = v
+        elif key == b"DEPTH":
+            depth = v
+        elif key == b"MAXVAL":
+            maxval = v
+    if None in (w, h, depth, maxval):
+        return None
+    if not (0 < w < 0x40000 and 0 < h < 0x40000 and depth in (1, 3)
+            and 0 < maxval < 256):
+        return None
+    j = end + 7
+    n = w * h * depth
+    if j + n > len(data) or n < 256:
+        return None
+    kind = "img24" if depth == 3 else "img8"
+    return MediaSpan(kind, j, n, w * depth, depth)
+
+
+def _parse_tga(data, i):
+    """Uncompressed truecolor/grayscale TGA at offset i.  TGA has no
+    magic; like the reference's detector (the TGA branch of detect(),
+    src/preprocess/preprocessor.cpp:221-260) this matches only the
+    common fixed header forms: no image id, no colormap, origin (0,0),
+    image type 2 (truecolor 24/32bpp) or 3 (grayscale 8bpp)."""
+    if i + 18 > len(data):
+        return None
+    idlen, cmap, itype = data[i], data[i + 1], data[i + 2]
+    if idlen != 0 or cmap != 0 or itype not in (2, 3):
+        return None
+    if data[i + 3:i + 8] != b"\x00" * 5:      # colormap spec empty
+        return None
+    xo, yo, w, h = struct.unpack_from("<HHHH", data, i + 8)
+    bpp = data[i + 16]
+    if xo != 0 or yo != 0:
+        return None
+    if not (0 < w < 0x10000 and 0 < h < 0x10000):
+        return None
+    if itype == 2 and bpp not in (24, 32):
+        return None
+    if itype == 3 and bpp != 8:
+        return None
+    cell = bpp // 8
+    n = w * h * cell
+    if i + 18 + n > len(data) or n < 1024:
+        return None
+    kind = "img8" if cell == 1 else "img24"
+    return MediaSpan(kind, i + 18, n, w * cell, cell)
+
+
+def _parse_tiff(data, i):
+    """Uncompressed single-strip TIFF at offset i (cf. the reference's
+    TIFF branch of detect(), src/preprocess/preprocessor.cpp:261-289):
+    walks IFD0's tags and accepts compression=1 with 8-bit samples,
+    1 (gray) or 3 (RGB) samples/pixel, one strip covering the image."""
+    le = data[i:i + 4] == b"II*\x00"
+    be = data[i:i + 4] == b"MM\x00*"
+    if not (le or be) or i + 8 > len(data):
+        return None
+    endian = "<" if le else ">"
+    try:
+        (ifd_off,) = struct.unpack_from(endian + "I", data, i + 4)
+        j = i + ifd_off
+        (n_tags,) = struct.unpack_from(endian + "H", data, j)
+        if n_tags == 0 or n_tags > 512:
+            return None
+        w = h = spp = comp = strip_off = strip_cnt = None
+        bits_ok = True
+        for k in range(n_tags):
+            e = j + 2 + 12 * k
+            tag, typ, cnt = struct.unpack_from(endian + "HHI", data, e)
+            (val,) = struct.unpack_from(
+                endian + ("H" if typ == 3 else "I"), data, e + 8)
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+            elif tag == 258:
+                # inline only when count==1; multi-sample BitsPerSample
+                # points elsewhere -- accept (8,8,8) via samples check
+                if cnt == 1 and val != 8:
+                    bits_ok = False
+            elif tag == 259:
+                comp = val
+            elif tag == 273 and cnt == 1:
+                strip_off = val
+            elif tag == 277:
+                spp = val
+            elif tag == 279 and cnt == 1:
+                strip_cnt = val
+    except struct.error:
+        return None
+    if not bits_ok or comp != 1 or spp not in (None, 1, 3):
+        return None
+    if None in (w, h, strip_off, strip_cnt):
+        return None
+    spp = spp or 1
+    if not (0 < w < 0x40000 and 0 < h < 0x40000):
+        return None
+    n = w * h * spp
+    if strip_cnt != n or i + strip_off + n > len(data) or n < 256:
+        return None
+    kind = "img24" if spp == 3 else "img8"
+    return MediaSpan(kind, i + strip_off, n, w * spp, spp)
+
+
 def _parse_wav(data, i):
     """RIFF/WAVE PCM at offset i -> MediaSpan over the data chunk."""
     if i + 44 > len(data) or data[i:i + 4] != b"RIFF" \
@@ -191,37 +354,57 @@ def _parse_jpeg(data, i):
 
 _MAGIC_PARSERS = (
     (b"BM", _parse_bmp),
+    (b"P4", _parse_pbm),
     (b"P5", _parse_pnm),
     (b"P6", _parse_pnm),
+    (b"P7\n", _parse_pam),
+    (b"II*\x00", _parse_tiff),
+    (b"MM\x00*", _parse_tiff),
     (b"RIFF", _parse_wav),
     (b"\xFF\xD8\xFF", _parse_jpeg),
+    # TGA has no magic: match the two fixed no-id/no-colormap header
+    # forms (type 2 truecolor, type 3 grayscale)
+    (b"\x00\x00\x02\x00\x00\x00\x00\x00", _parse_tga),
+    (b"\x00\x00\x03\x00\x00\x00\x00\x00", _parse_tga),
 )
 
 
 def find_media_spans(data: bytes):
     """Scan for embedded media; returns non-overlapping MediaSpans in
-    ascending offset order (first match wins, scan resumes after span)."""
+    ascending offset order (first match wins, scan resumes after span).
+
+    Tracks the next occurrence of each FULL magic string, so scan cost
+    is proportional to candidate hits, not to file size (zero-prefixed
+    magics like TGA's would otherwise crawl through every zero run)."""
     spans = []
-    i = 0
     n = len(data)
-    while i < n - 64:
+    nxt = {}
+    for magic, parser in _MAGIC_PARSERS:
+        k = data.find(magic, 0, n - 64)
+        if k != -1:
+            nxt.setdefault(k, []).append((magic, parser))
+    while nxt:
+        i = min(nxt)
+        cands = nxt.pop(i)
         hit = None
-        for magic, parser in _MAGIC_PARSERS:
-            if data[i:i + len(magic)] == magic:
+        for magic, parser in cands:
+            if hit is None:
                 hit = parser(data, i)
-                if hit is not None:
-                    break
+            # schedule this magic's next occurrence past the match
+            skip = (hit.data_off + hit.data_len) if hit is not None \
+                else i + 1
+            k = data.find(magic, skip, n - 64)
+            if k != -1:
+                nxt.setdefault(k, []).append((magic, parser))
         if hit is not None:
+            end = hit.data_off + hit.data_len
             spans.append(hit)
-            i = hit.data_off + hit.data_len
-        else:
-            # jump to the next candidate magic byte
-            nxt = n
-            for magic, _ in _MAGIC_PARSERS:
-                k = data.find(magic[:1], i + 1, n)
-                if k != -1:
-                    nxt = min(nxt, k)
-            i = nxt
+            # drop any queued candidates inside the consumed span
+            for pos in [p for p in nxt if p < end]:
+                for magic, parser in nxt.pop(pos):
+                    k = data.find(magic, end, n - 64)
+                    if k != -1:
+                        nxt.setdefault(k, []).append((magic, parser))
     return spans
 
 

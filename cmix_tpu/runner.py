@@ -456,7 +456,10 @@ def main(argv=None):
     ap.add_argument("input")
     ap.add_argument("output")
     ap.add_argument("--dict", dest="dictionary", default=None,
-                    help="word dictionary (enables WRT + pretraining)")
+                    help="word dictionary (enables WRT + pretraining); "
+                    "'auto' uses the shipped English list "
+                    "(cmix_tpu/data/english.dic, the role of the "
+                    "reference's dictionary/english.dic asset)")
     ap.add_argument("--block-size", type=int, default=1 << 16)
     ap.add_argument("--tbits", type=int, default=18)
     ap.add_argument("--lstm", type=int, default=256)
@@ -477,6 +480,10 @@ def main(argv=None):
                     "for portability, like the reference's -O3 vs "
                     "-Ofast)")
     args = ap.parse_args(argv)
+    if args.dictionary == "auto":
+        args.dictionary = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "data", "english.dic")
     if args.portable and engine.update_gates({"PORT": 1}):
         _TRANSCODER_CACHE.clear()
 

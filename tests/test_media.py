@@ -166,3 +166,68 @@ def test_transform_jpeg_passthrough():
     ent = [e for e in meta if e[0] == SEG_JPEG][0]
     assert len(ent) == 3 and ent[1] == ent[2] == len(jp)
     assert untransform(payload, meta, None) == data
+
+
+def _tga(w, h, cell, rng):
+    itype = 3 if cell == 1 else 2
+    hdr = bytes([0, 0, itype]) + b"\x00" * 5 \
+        + struct.pack("<HHHH", 0, 0, w, h) + bytes([cell * 8, 0])
+    return hdr + rng.integers(0, 255, w * h * cell,
+                              dtype=np.uint8).tobytes()
+
+
+def _tiff(w, h, spp, rng):
+    # little-endian, one IFD, single strip right after the IFD
+    n_tags = 7
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4
+    def tag(t, typ, cnt, val):
+        return struct.pack("<HHII", t, typ, cnt, val)
+    ifd = struct.pack("<H", n_tags)
+    ifd += tag(256, 4, 1, w) + tag(257, 4, 1, h)
+    ifd += tag(258, 3, 1, 8) + tag(259, 3, 1, 1)
+    ifd += tag(273, 4, 1, data_off) + tag(277, 3, 1, spp)
+    ifd += tag(279, 4, 1, w * h * spp)
+    ifd += struct.pack("<I", 0)
+    px = rng.integers(0, 255, w * h * spp, dtype=np.uint8).tobytes()
+    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + px
+
+
+def test_detect_tga_tiff_pbm_pam():
+    """TGA/TIFF/PBM/PAM detector parity (the remaining filetypes of the
+    reference's detect(), src/preprocess/preprocessor.cpp:177-289)."""
+    rng = np.random.default_rng(3)
+    w, h = 40, 32
+    tga = _tga(w, h, 3, rng)
+    sp = find_media_spans(b"zz" + tga + b"yy")
+    assert len(sp) == 1 and sp[0].kind == "img24" \
+        and sp[0].stride == w * 3 and sp[0].data_len == w * h * 3
+
+    tga8 = _tga(w, h, 1, rng)
+    sp = find_media_spans(tga8)
+    assert len(sp) == 1 and sp[0].kind == "img8" and sp[0].stride == w
+
+    tif = _tiff(w, h, 3, rng)
+    sp = find_media_spans(b"pad" + tif)
+    assert len(sp) == 1 and sp[0].kind == "img24" \
+        and sp[0].stride == w * 3 and sp[0].data_len == w * h * 3
+
+    tif8 = _tiff(w, h, 1, rng)
+    sp = find_media_spans(tif8)
+    assert len(sp) == 1 and sp[0].kind == "img8" and sp[0].stride == w
+
+    pbm = (f"P4\n{w * 8} {h}\n".encode()
+           + rng.integers(0, 255, w * h, dtype=np.uint8).tobytes())
+    sp = find_media_spans(pbm)
+    assert len(sp) == 1 and sp[0].kind == "img8" and sp[0].stride == w
+
+    pam = (f"P7\nWIDTH {w}\nHEIGHT {h}\nDEPTH 3\nMAXVAL 255\n"
+           f"TUPLTYPE RGB\nENDHDR\n".encode()
+           + rng.integers(0, 255, w * h * 3, dtype=np.uint8).tobytes())
+    sp = find_media_spans(pam)
+    assert len(sp) == 1 and sp[0].kind == "img24" and sp[0].stride == w * 3
+
+    # no false spans in plain zero-heavy binary (TGA magic is \x00-led)
+    junk = bytes(4096) + rng.integers(0, 255, 4096,
+                                      dtype=np.uint8).tobytes()
+    assert find_media_spans(junk) == []
