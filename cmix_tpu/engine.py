@@ -90,11 +90,13 @@ _GATE_SPEC = (
     ("PPM_UPD", int, "0"),
     ("BANK_CK", int, "0"),
     ("MIX_DYN3", int, "0"),
+    ("MIX_DYN4", int, "0"),
     ("CMIX_SBANK_COLS", str, "0,1,2,3,5,7,10,14,24,36"),
     ("SBANK_ADAPT", int, "0"),
     ("VMATCH", int, "0"),
     ("LMS", int, "0"),
     ("GRID2", int, "0"),
+    ("JPEGX", int, "0"),
     ("BANK_CH", int, "1"),
     ("MIX_DYN2", int, "0"),
     ("MIX_KIND", int, "0"),
@@ -197,8 +199,9 @@ def _derive(env):
     gate name -> raw string; missing names take their defaults).  Called
     once at import with os.environ, and again by apply_gates when a
     decoded archive pins different gates."""
-    global N_IND, WIKI, X86X, GRID2, N_BANK, MATCH_ORDERS, N_MATCH
+    global N_IND, WIKI, X86X, GRID2, JPEGX, N_BANK, MATCH_ORDERS, N_MATCH
     global PPM_ORDERS, N_PPM, PPM_EXCL, PPM_UPD, BANK_CK, MIX_DYN3
+    global MIX_DYN4
     global SBANK_COLS, N_SBANK, SBANK_KIND, SBANK_ADAPT
     global VMATCH, LMS, BANK_CH, DMC_IDX, N_INPUTS
     global MIX_DYN2, MIX_KIND, _MIX1_ROWS, N_MIX1, _MIX1_OFF, _MIX1_TOTAL
@@ -219,7 +222,8 @@ def _derive(env):
     WIKI = gi("WIKI")
     X86X = gi("X86X")
     GRID2 = gi("GRID2")
-    N_BANK = 47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2
+    JPEGX = gi("JPEGX")
+    N_BANK = 47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 2 * JPEGX
     #          25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
     #          + 2 line-grid + N_IND double-indirect
     MATCH_ORDERS = tuple(
@@ -324,10 +328,17 @@ def _derive(env):
     # hash, analog delta pair), continuing toward the reference's
     # 26-mixer layer 0 (src/predictor.cpp:184-328)
     MIX_DYN3 = gi("MIX_DYN3")
+    # MIX_DYN4 appends the last 5 gates to reach the reference's
+    # 26-gate layer 0: auxiliary-average bucket (the reference's
+    # auxiliary_context_, src/predictor.cpp:388-393), full coarse class
+    # register, sentence-position x word-length, first indirect value
+    # byte, grid nibble pair (above/left)
+    MIX_DYN4 = gi("MIX_DYN4")
     _MIX1_ROWS = np.array(
         [1, 8, 256, 1024, 64, 256, 256, 64, 512, 128, 64]
         + ([257, 256, 64, 256] if MIX_DYN2 else [])
         + ([2048, 257, 32, 256, 256] if MIX_DYN3 else [])
+        + ([32, 256, 64, 256, 272] if MIX_DYN4 else [])
         + ([64] if MIX_KIND else []), dtype=np.int64)
     N_MIX1 = len(_MIX1_ROWS)
     _MIX1_OFF = np.concatenate(
@@ -626,6 +637,12 @@ def init_perblock(cfg: EngineConfig):
         # preprocess/wrt.py, from the archive's segment table; 0 when
         # no segmentation ran) -- gates MIX_KIND mixer rows
         "blk_kind": jnp.zeros((), dtype=jnp.int32),
+        # JPEGX addressing (wrt.block_jpeg_coords): offset of this
+        # block's byte 0 into the covering recoded-JPEG segment's
+        # coefficient planes (INT32_MIN = none) + per-component plane
+        # lengths
+        "jpeg_rel0": jnp.full((), -(1 << 31) + 1, dtype=jnp.int32),
+        "jpeg_clen": jnp.zeros(4, dtype=jnp.int32),
         # strided LMS: taps + error EMA (active when LMS=1)
         "lms_w": jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32),
         "lms_err": jnp.zeros((), dtype=jnp.float32),
@@ -792,6 +809,10 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
     if GRID2:   # appended last so existing context indices stay stable
         vals.append(rec_vals[:, 4])
         vals.append(rec_vals[:, 5])
+    if JPEGX:
+        j0 = 4 + 2 * GRID2
+        vals.append(rec_vals[:, j0])
+        vals.append(rec_vals[:, j0 + 1])
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24], above_l, v_alive
@@ -823,6 +844,46 @@ def _record_ctx_vals(cfg, pb, t):
         vals.append(mix32(nw | (above << U8), jnp.uint32(0x632BE5AB)))
         vals.append(mix32(above | (ne << U8) | (lf << jnp.uint32(16)),
                           jnp.uint32(0x9E3779B1)))
+    if JPEGX:
+        # (component, zigzag) coordinates inside a recoded-JPEG
+        # segment's fixed-width coefficient planes (preprocess/jpeg.py;
+        # the addressing of the reference jpegModel's coefficient
+        # contexts, src/models/paq8.cpp:5871-6589).  N at the forced
+        # stride is the same-zigzag block above; t-1 is the block to
+        # the left within the plane.
+        body = pb["jpeg_rel0"] + t                           # (B,)
+        cl = pb["jpeg_clen"].astype(jnp.int32)               # (B, 4)
+        if cl.ndim == 1:                                     # unbatched
+            cl = cl[None, :]
+        csz = 64 * cl
+        c1 = csz[:, 0]
+        c2 = c1 + csz[:, 1]
+        c3 = c2 + csz[:, 2]
+        comp = ((body >= c1).astype(jnp.int32)
+                + (body >= c2).astype(jnp.int32)
+                + (body >= c3).astype(jnp.int32))            # (B,)
+        base = jnp.where(comp == 0, 0,
+                         jnp.where(comp == 1, c1,
+                                   jnp.where(comp == 2, c2, c3)))
+        # one-hot component-plane length (dense, no gather)
+        clc = sum((comp == i).astype(jnp.int32) * cl[:, i]
+                  for i in range(4))
+        k = (body - base) // jnp.maximum(clc, 1)
+        valid = ((body >= 0) & (clc > 0) & (k < 64)
+                 & (pb["jpeg_rel0"] > -(1 << 29)))
+        ck = jnp.where(valid, (comp << 6) | k, 4095).astype(jnp.uint32)
+        lfj = pb["hist"][bar, jnp.mod(t - 1, n)].astype(jnp.uint32)
+
+        def _magq(v):   # log2 bucket of coefficient magnitude (v-128)
+            d = jnp.abs(v.astype(jnp.int32) - 128)
+            return ((d > 0).astype(jnp.uint32) + (d > 1) + (d > 3)
+                    + (d > 7) + (d > 15) + (d > 31) + (d > 63))
+
+        vals.append(mix32(above | (lfj << U8),
+                          ck + jnp.uint32(0x7F4A7C15)))      # N,W per (c,k)
+        vals.append(mix32(ck | (_magq(above) << jnp.uint32(12))
+                          | (_magq(lfj) << jnp.uint32(16)),
+                          jnp.uint32(0xE6546B64)))           # band stats
     return jnp.stack(vals, axis=1), rl, posr
 
 
@@ -1028,6 +1089,31 @@ def _dyn3_gates(cs, pb, exp_byte, pdst, ptot):
         (cs["last_word"] & jnp.uint32(0xFF)).astype(jnp.int32),
         (_qdelta(b1u, b2u)
          | (_qdelta(b2u, b3u) << jnp.uint32(4))).astype(jnp.int32),
+    ]
+
+
+def _dyn4_gates(cs, pb, x, above_l, b1):
+    """The MIX_DYN4 layer-1 gate values (see _derive).  The auxiliary
+    average reads the LSTM/PPM/DMC stretches at the root node -- the
+    per-byte analog of the reference's averaged auxiliary context
+    (src/predictor.cpp:388-393)."""
+    aux_ch = jnp.asarray(
+        [N_BANK + 4 + N_MATCH, N_BANK + 4 + N_MATCH + 1, DMC_IDX])
+    a = x[:, aux_ch, 1]                                      # (B, 3)
+    if PORT:                                                 # st256 ints
+        avg = (a[:, 0] + a[:, 1] + a[:, 2]) // 3
+        aux_b = jnp.clip((avg >> 7) + 15, 0, 31)
+    else:
+        avg = (a[:, 0] + a[:, 1] + a[:, 2]) * (1.0 / 3.0)
+        aux_b = jnp.clip(jnp.floor(avg * 2.0) + 15, 0, 31).astype(jnp.int32)
+    return [
+        aux_b.astype(jnp.int32),
+        (cs["cls2reg"] & jnp.uint32(0xFF)).astype(jnp.int32),
+        (jnp.minimum(cs["sentpos"] >> jnp.uint32(2), jnp.uint32(7)) * 8
+         + jnp.minimum(cs["wordlen"], jnp.uint32(7))).astype(jnp.int32),
+        (pb["ind_val"][:, 0] & jnp.uint32(0xFF)).astype(jnp.int32),
+        ((jnp.minimum(above_l, jnp.uint32(256)) >> jnp.uint32(4)) * 16
+         + (b1.astype(jnp.uint32) >> jnp.uint32(4))).astype(jnp.int32),
     ]
 
 
@@ -1246,7 +1332,8 @@ def _predict_tree_b(cfg, sh, pb, t):
          + (cs["cls2reg"] & jnp.uint32(3))).astype(jnp.int32),
         (cs["tag"] & jnp.uint32(0xFF)).astype(jnp.int32),
     ] if MIX_DYN2 else []) + (_dyn3_gates(cs, pb, exp_byte, pdst, ptot)
-                              if MIX_DYN3 else []) + ([
+                              if MIX_DYN3 else []) \
+        + (_dyn4_gates(cs, pb, x, above_l, b1) if MIX_DYN4 else []) + ([
         jnp.clip(pb["blk_kind"], 0, 7) * 8
         + (cs["cls2reg"] & jnp.uint32(7)).astype(jnp.int32),
     ] if MIX_KIND else []), axis=1) \

@@ -365,6 +365,28 @@ def jpeg_stride(data: bytes):
     return _rowmajor_order(tb["frame"])[0][0]
 
 
+def recoded_geometry(payload: bytes):
+    """(body_off, [plane_len per component]) of a recoded payload.
+
+    body_off is where the fixed-width planes start; component ci's
+    planes occupy [coff_ci, coff_ci + 64*plane_len_ci) with
+    coff = body_off + cumulative.  This is the addressing the engine's
+    JPEGX contexts use to recover (component, zigzag index) per byte --
+    the coordinate system of the reference jpegModel's coefficient
+    contexts (src/models/paq8.cpp:5871-6589).  Returns None if the
+    payload header does not parse."""
+    try:
+        (hlen,) = struct.unpack_from("<I", payload, 0)
+        hdr = payload[4:4 + hlen]
+        tb = _parse_tables(hdr + b"\xFF\xD9")
+        if tb is None:
+            return None
+        n_mcu, blocks_per = _mcu_layout(tb["frame"])
+        return 4 + hlen, [n_mcu * nblk for _, nblk in blocks_per]
+    except (struct.error, Exception):
+        return None
+
+
 def jpeg_unrecode(payload: bytes) -> bytes:
     """Exact inverse of _recode_inner: planar payload -> JPEG."""
     (hlen,) = struct.unpack_from("<I", payload, 0)

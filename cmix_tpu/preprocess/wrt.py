@@ -409,9 +409,15 @@ def transform(data: bytes, dictionary=None):
                     jpeg_recode, jpeg_stride)
                 enc = jpeg_recode(raw)       # None unless exact inverse
                 if enc is not None:
+                    from cmix_tpu.preprocess.jpeg import recoded_geometry
+                    body_off, clens = recoded_geometry(enc) or (0, [])
                     payload += enc
+                    # geometry rides in the segment table so the
+                    # decoder can address (component, zigzag) per byte
+                    # before any payload exists (engine JPEGX contexts)
                     meta.append((SEG_JPEGC, len(enc), len(raw),
-                                 jpeg_stride(raw)))
+                                 jpeg_stride(raw), body_off,
+                                 tuple(clens[:4])))
                     continue
             payload += raw                   # pass-through, no stride
             meta.append((SEG_JPEG, len(raw), len(raw)))
@@ -448,6 +454,40 @@ def block_strides(meta, n_blocks, block_size):
                     forced[b] = stride
         off += enc_len
     return forced
+
+
+def block_jpeg_coords(meta, n_blocks, block_size):
+    """Per-block JPEGX addressing: (rel0 (nb,) int32, clen (nb, 4) int32).
+
+    For a block whose dominant coverage is a recoded-JPEG segment,
+    rel0 + t is the byte's offset into that segment's coefficient
+    planes (negative while still in the verbatim header) and clen holds
+    the per-component plane lengths; rel0 = INT32_MIN marks blocks with
+    no JPEG coverage.  Derived purely from the segment table so encode
+    and decode agree (part of the format, like block_strides)."""
+    import numpy as np
+    rel0 = np.full(n_blocks, np.iinfo(np.int32).min, dtype=np.int32)
+    clen = np.zeros((n_blocks, 4), dtype=np.int32)
+    cover = np.zeros(n_blocks, dtype=np.int64)
+    off = 0
+    for entry in meta:
+        typ, enc_len = entry[0], entry[1]
+        if typ == SEG_JPEGC and len(entry) > 5 and entry[5]:
+            body_off, clens = entry[4], entry[5]
+            b0 = off // block_size
+            b1 = min((off + enc_len - 1) // block_size, n_blocks - 1)
+            for b in range(b0, b1 + 1):
+                lo = max(off, b * block_size)
+                hi = min(off + enc_len, (b + 1) * block_size)
+                c = hi - lo
+                if c > cover[b] and c * 4 >= block_size:
+                    cover[b] = c
+                    rel0[b] = b * block_size - off - body_off
+                    clen[b] = 0
+                    for i, cl in enumerate(clens[:4]):
+                        clen[b, i] = cl
+        off += enc_len
+    return rel0, clen
 
 
 def block_kinds(meta, n_blocks, block_size):

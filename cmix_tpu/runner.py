@@ -80,6 +80,8 @@ from cmix_tpu.engine import (
     EngineConfig, init_shared, init_perblock, make_transcoder,
     MODE_ENCODE, MODE_DECODE, FormatError)
 
+from cmix_tpu.preprocess.wrt import SEG_JPEGC as _SEG_JPEGC
+
 _RAW_FLAG = 0x80000000
 _FLAG_WRT = 1
 _FLAG_PRETRAIN = 2
@@ -214,11 +216,13 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     vocab = _vocab_bitmap(payload)
     vforce = jnp.asarray(_vocab_force(vocab))
 
-    forced_rl = blk_kind = None
+    forced_rl = blk_kind = jpeg_coords = None
     if seg_meta is not None:
-        from cmix_tpu.preprocess.wrt import block_strides, block_kinds
+        from cmix_tpu.preprocess.wrt import (
+            block_strides, block_kinds, block_jpeg_coords)
         forced_rl = block_strides(seg_meta, nb, n)
         blk_kind = block_kinds(seg_meta, nb, n)
+        jpeg_coords = block_jpeg_coords(seg_meta, nb, n)
 
     prog = None
     if show_progress:
@@ -258,6 +262,13 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
             bk = np.zeros(eb, dtype=np.int32)
             bk[:b] = blk_kind[lo:lo + b]
             pb["blk_kind"] = jnp.asarray(bk)
+        if jpeg_coords is not None:
+            jr = np.full(eb, -(1 << 31) + 1, dtype=np.int32)
+            jc = np.zeros((eb, 4), dtype=np.int32)
+            jr[:b] = jpeg_coords[0][lo:lo + b]
+            jc[:b] = jpeg_coords[1][lo:lo + b]
+            pb["jpeg_rel0"] = jnp.asarray(jr)
+            pb["jpeg_clen"] = jnp.asarray(jc)
         comp0 = jnp.zeros((eb, cfg.comp_size), dtype=jnp.uint8)
         _, out, out_len = trans(sh, pb, jnp.asarray(batch), comp0,
                                 jnp.int32(MODE_ENCODE), meter=meter,
@@ -289,7 +300,13 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     if flags & _FLAG_WRT:
         parts = [struct.pack("<I", len(seg_meta))]
         for e in seg_meta:                   # media entries carry stride
-            if len(e) > 3:
+            if e[0] == _SEG_JPEGC:           # + plane geometry (JPEGX)
+                clens = e[5] if len(e) > 5 else ()
+                parts.append(struct.pack(
+                    "<BIIIIB", e[0], e[1], e[2], e[3],
+                    e[4] if len(e) > 4 else 0, len(clens)))
+                parts.extend(struct.pack("<I", c) for c in clens)
+            elif len(e) > 3:
                 parts.append(struct.pack("<BIII", e[0], e[1], e[2], e[3]))
             else:
                 parts.append(struct.pack("<BII", e[0], e[1], e[2]))
@@ -368,7 +385,15 @@ def _decompress_body(archive, hdr, off, max_batch, dictionary, meter,
         from cmix_tpu.preprocess.wrt import _STRIDE_SEGS
         for _ in range(nseg):
             t = archive[off]
-            if t in _STRIDE_SEGS:
+            if t == _SEG_JPEGC:
+                t, el, rl, stride, body_off, nc = struct.unpack(
+                    "<BIIIIB", archive[off:off + 18])
+                off += 18
+                clens = struct.unpack("<" + "I" * nc,
+                                      archive[off:off + 4 * nc])
+                off += 4 * nc
+                seg_meta.append((t, el, rl, stride, body_off, clens))
+            elif t in _STRIDE_SEGS:
                 t, el, rl, stride = struct.unpack(
                     "<BIII", archive[off:off + 13])
                 seg_meta.append((t, el, rl, stride))
@@ -391,11 +416,13 @@ def _decompress_body(archive, hdr, off, max_batch, dictionary, meter,
 
     trans = get_transcoder(cfg)
     n = cfg.block_size
-    forced_rl = blk_kind = None
+    forced_rl = blk_kind = jpeg_coords = None
     if seg_meta is not None:
-        from cmix_tpu.preprocess.wrt import block_strides, block_kinds
+        from cmix_tpu.preprocess.wrt import (
+            block_strides, block_kinds, block_jpeg_coords)
         forced_rl = block_strides(seg_meta, nb, n)
         blk_kind = block_kinds(seg_meta, nb, n)
+        jpeg_coords = block_jpeg_coords(seg_meta, nb, n)
     out_parts = [None] * nb
     prog = None
     if show_progress:
@@ -426,6 +453,13 @@ def _decompress_body(archive, hdr, off, max_batch, dictionary, meter,
             bk = np.zeros(eb, dtype=np.int32)
             bk[:len(group)] = blk_kind[lo:lo + len(group)]
             pb["blk_kind"] = jnp.asarray(bk)
+        if jpeg_coords is not None:
+            jr = np.full(eb, -(1 << 31) + 1, dtype=np.int32)
+            jc = np.zeros((eb, 4), dtype=np.int32)
+            jr[:len(group)] = jpeg_coords[0][lo:lo + len(group)]
+            jc[:len(group)] = jpeg_coords[1][lo:lo + len(group)]
+            pb["jpeg_rel0"] = jnp.asarray(jr)
+            pb["jpeg_clen"] = jnp.asarray(jc)
         hist, _, _ = trans(sh, pb, jnp.asarray(inp), jnp.asarray(comp),
                            jnp.asarray(modes), meter=meter, progress=prog)
         if show_progress:

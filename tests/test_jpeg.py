@@ -94,3 +94,37 @@ def test_compress_roundtrip_jpeg(monkeypatch):
                        lstm_hidden=0)
     arch = compress(data, cfg)
     assert decompress(arch) == data
+
+
+def test_recoded_geometry():
+    from cmix_tpu.preprocess.jpeg import recoded_geometry
+    jp = _make_jpeg(w=48, h=40, quality=80)          # RGB, 2x2 subsampled
+    enc = jpeg_recode(jp)
+    assert enc is not None
+    body_off, clens = recoded_geometry(enc)
+    # planes must exactly fill [body_off, len) minus the escape stream
+    assert body_off > 4 and len(clens) == 3
+    assert body_off + 64 * sum(clens) <= len(enc)
+    # luma has 4x the chroma blocks under 2x2 subsampling
+    assert clens[0] == 4 * clens[1] == 4 * clens[2]
+
+
+def test_compress_roundtrip_jpegx(monkeypatch):
+    """JPEGX coefficient-grid contexts: geometry rides the segment
+    table, decode reproduces the ensemble (the jpegModel-class contexts
+    are part of the format when the gate is on)."""
+    monkeypatch.setenv("CMIX_JPEGC", "1")
+    from cmix_tpu import engine
+    changed = engine.update_gates({"JPEGX": 1, "GRID2": 1})
+    try:
+        import cmix_tpu.runner as runner
+        runner._TRANSCODER_CACHE.clear()
+        jp = _make_jpeg(w=48, h=40, quality=80)
+        data = b"prefix " * 64 + jp + b" suffix" * 16
+        cfg = EngineConfig(block_size=2048, tbits=14, mbits=14, ibits=12,
+                           lstm_hidden=0)
+        arch = compress(data, cfg)
+        assert decompress(arch) == data
+    finally:
+        engine.update_gates({"JPEGX": 0, "GRID2": 0})
+        runner._TRANSCODER_CACHE.clear()

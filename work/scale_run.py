@@ -3,6 +3,7 @@ end-to-end through the CLI pipeline (segmentation + engine), decode it
 back, and record bpb / MB/s / wall / peak RSS.
 
 Usage: scale_run.py [mb] [blk_log2] [max_batch] [tbits]
+Env DICT=path|auto enables the WRT dictionary + pretraining pipeline.
 Corpus: distinct Python/JSON/text sources from site-packages (deduped,
 deterministic sorted walk) -- enwik8-class volume; regenerated on the
 fly, not committed.
@@ -66,10 +67,13 @@ def main():
 
     data = build_corpus(MB << 20)
     cfg = EngineConfig(block_size=BLK, tbits=TBITS, seg_size=2048)
-    print(f"corpus {len(data)} B  blk={BLK} maxb={MAXB} tbits={TBITS}",
-          flush=True)
+    dic = os.environ.get("DICT")
+    if dic == "auto":
+        dic = "/root/repo/cmix_tpu/data/english.dic"
+    print(f"corpus {len(data)} B  blk={BLK} maxb={MAXB} tbits={TBITS} "
+          f"dict={dic}", flush=True)
     t0 = time.time()
-    arch = compress(data, cfg, max_batch=MAXB,
+    arch = compress(data, cfg, max_batch=MAXB, dictionary=dic,
                     resume_path="/root/repo/work/scale.resume")
     enc_s = time.time() - t0
     bpb = 8 * len(arch) / len(data)
@@ -77,7 +81,7 @@ def main():
           f"{enc_s:.0f}s  {len(data) / enc_s / 1e6:.3f} MB/s", flush=True)
     open("/root/repo/work/scale.tcmx", "wb").write(arch)
     t0 = time.time()
-    back = decompress(arch, max_batch=MAXB)
+    back = decompress(arch, max_batch=MAXB, dictionary=dic)
     dec_s = time.time() - t0
     ok = back == data
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
