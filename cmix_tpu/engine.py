@@ -1135,16 +1135,39 @@ def _predict_tree_b(cfg, sh, pb, t):
     rmask = jnp.uint32(cfg.rows - 1)
     rowi = ((bases >> U8) & rmask).astype(jnp.int32)         # (B, NM)
     m_ar = jnp.arange(N_BANK)
-    rows = sh["bank"][m_ar[None, :], rowi]                   # (B, NM, 256)
     ck_exp = None
-    if BANK_CK:
-        # row checksum from the hash bits below the row index: a
-        # mismatched row belongs to a different context -- read it as
-        # fresh and let the update replace it (branchless equivalent of
-        # direct-hash.cpp:31-48 probing/reset)
+    if BANK_CK == 2:
+        # 2-way set-associative rows: ways {rowi, rowi^1} probed by
+        # checksum; on a double miss the way whose resident is less
+        # mature (smaller root-slot count) is replaced -- the bucket
+        # search/priority-replacement capability of the reference's
+        # DirectHash/BH tables (src/models/direct-hash.cpp:31-48,
+        # src/models/paq8.cpp:788-813) at the same memory, ending the
+        # mutual eviction of two hot contexts sharing a hashed row
         ck_exp = (bases & jnp.uint32(0xFF)).astype(jnp.int32)
-        ck_ok = sh["bank_ck"][m_ar[None, :], rowi] == ck_exp
-        rows = jnp.where(ck_ok[:, :, None], rows, jnp.uint32(_SLOT_INIT))
+        alt = rowi ^ 1
+        rows_a = sh["bank"][m_ar[None, :], rowi]             # (B, NM, 256)
+        rows_b = sh["bank"][m_ar[None, :], alt]
+        ok_a = sh["bank_ck"][m_ar[None, :], rowi] == ck_exp
+        ok_b = sh["bank_ck"][m_ar[None, :], alt] == ck_exp
+        mat_a = rows_a[:, :, 1] & jnp.uint32(0x3F)
+        mat_b = rows_b[:, :, 1] & jnp.uint32(0x3F)
+        pick_b = (~ok_a) & (ok_b | (mat_b <= mat_a))
+        rowi = jnp.where(pick_b, alt, rowi)
+        rows = jnp.where(pick_b[:, :, None], rows_b, rows_a)
+        rows = jnp.where((ok_a | ok_b)[:, :, None], rows,
+                         jnp.uint32(_SLOT_INIT))
+    else:
+        rows = sh["bank"][m_ar[None, :], rowi]               # (B, NM, 256)
+        if BANK_CK:
+            # row checksum from the hash bits below the row index: a
+            # mismatched row belongs to a different context -- read it
+            # as fresh and let the update replace it (branchless
+            # equivalent of direct-hash.cpp:31-48 probing/reset)
+            ck_exp = (bases & jnp.uint32(0xFF)).astype(jnp.int32)
+            ck_ok = sh["bank_ck"][m_ar[None, :], rowi] == ck_exp
+            rows = jnp.where(ck_ok[:, :, None], rows,
+                             jnp.uint32(_SLOT_INIT))
     if PORT:                                                 # st256 int32
         st_bank = (rows >> jnp.uint32(18)).astype(jnp.int32) - 4096
     else:

@@ -25,7 +25,7 @@ def test_all_gates_roundtrip(tmp_path):
         "PYTHONPATH": "/root/repo",
         "MIX_AUX": "1", "MIX_DYN2": "1", "MIX_KIND": "1",
         "MIX_DYN3": "1", "MIX_DYN4": "1", "JPEGX": "1", "GRID2": "1",
-        "BANK_CK": "1", "PPM_UPD": "1",
+        "BANK_CK": "2", "PPM_UPD": "1",
         "VMATCH": "1", "LMS": "1", "BANK_CH": "3", "WIKI": "1",
         "PPM_EXCL": "1", "SBANK_ADAPT": "1", "X86X": "1",
         "APM2X": "1",
