@@ -122,6 +122,17 @@ def init_ctx_state():
         "last_word2": jnp.zeros((), dtype=jnp.uint32),        # the word before that
         "word_pfx": jnp.zeros((), dtype=jnp.uint32),          # hash of first <=4 letters (stem)
         "wordlen": jnp.zeros((), dtype=jnp.uint32),           # letters in current word (capped)
+        # suffix-strip stemming (capability class of the reference's
+        # Porter2 stemmers, src/models/fxcmv1.cpp:2662-3209 and
+        # src/models/paq8.cpp:1530-2998, reshaped for a rolling hash):
+        # wq1..wq3 snapshot the word hash 1..3 letters ago, wtail holds
+        # the last 4 lowercased letters, so a matched suffix selects
+        # the pre-suffix hash as the stem -- no backtracking needed
+        "wq1": jnp.zeros((), dtype=jnp.uint32),
+        "wq2": jnp.zeros((), dtype=jnp.uint32),
+        "wq3": jnp.zeros((), dtype=jnp.uint32),
+        "wtail": jnp.zeros((), dtype=jnp.uint32),
+        "last_stem": jnp.zeros((), dtype=jnp.uint32),
         "clsreg": jnp.zeros((), dtype=jnp.uint32),            # byte-class 4-bit register
         "cls2reg": jnp.zeros((), dtype=jnp.uint32),           # coarse 2-bit class register (16 B)
         "sentpos": jnp.zeros((), dtype=jnp.uint32),           # bytes since sentence end (capped)
@@ -266,6 +277,37 @@ def update_ctx_state_batched(cs, bytes_b):
     word = jnp.where(is_letter == 1, mix32(cs["word"], lower),
                      jnp.zeros_like(cs["word"]))
     ended = (is_letter == 0) & (cs["word"] != 0)
+    lettermask = (is_letter == 1)
+    wq1 = jnp.where(lettermask, cs["word"], jnp.uint32(0))
+    wq2 = jnp.where(lettermask, cs["wq1"], jnp.uint32(0))
+    wq3 = jnp.where(lettermask, cs["wq2"], jnp.uint32(0))
+    wtail = jnp.where(lettermask, (cs["wtail"] << jnp.uint32(8)) | lower,
+                      jnp.uint32(0))
+    # at a word end, strip one matched English suffix: the stem is the
+    # hash snapshot from before the suffix letters
+    t1 = cs["wtail"] & jnp.uint32(0xFF)
+    t2 = (cs["wtail"] >> jnp.uint32(8)) & jnp.uint32(0xFF)
+    t3 = (cs["wtail"] >> jnp.uint32(16)) & jnp.uint32(0xFF)
+    wl = cs["wordlen"]
+    pair = (t2 << jnp.uint32(8)) | t1
+    trip = (t3 << jnp.uint32(16)) | pair
+
+    def _cc(*chars):
+        v = 0
+        for ch in chars:
+            v = (v << 8) | ord(ch)
+        return jnp.uint32(v)
+
+    m3 = ((trip == _cc("i", "n", "g")) | (trip == _cc("i", "o", "n"))
+          ) & (wl >= 5)
+    m2 = ((pair == _cc("e", "d")) | (pair == _cc("e", "r"))
+          | (pair == _cc("e", "s")) | (pair == _cc("l", "y"))
+          | (pair == _cc("a", "l"))) & (wl >= 4)
+    m1 = (t1 == _cc("s")) & (t2 != _cc("s")) & (wl >= 3)
+    stem = jnp.where(m3, cs["wq3"],
+                     jnp.where(m2, cs["wq2"],
+                               jnp.where(m1, cs["wq1"], cs["word"])))
+    last_stem = jnp.where(ended, stem, cs["last_stem"])
     last_word = jnp.where(ended, cs["word"], cs["last_word"])
     last_word2 = jnp.where(ended, cs["last_word"], cs["last_word2"])
     wordlen = jnp.where(is_letter == 1,
@@ -335,6 +377,8 @@ def update_ctx_state_batched(cs, bytes_b):
             "word": word,
             "last_word": last_word, "last_word2": last_word2,
             "word_pfx": word_pfx, "wordlen": wordlen,
+            "wq1": wq1, "wq2": wq2, "wq3": wq3, "wtail": wtail,
+            "last_stem": last_stem,
             "clsreg": clsreg, "cls2reg": cls2reg, "sentpos": sentpos,
             "linepos": linepos,
             "brk_stack": stack, "brk_depth": depth,

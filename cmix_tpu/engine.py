@@ -97,6 +97,7 @@ _GATE_SPEC = (
     ("LMS", int, "0"),
     ("GRID2", int, "0"),
     ("JPEGX", int, "0"),
+    ("STEMX", int, "0"),
     ("BANK_CH", int, "1"),
     ("MIX_DYN2", int, "0"),
     ("MIX_KIND", int, "0"),
@@ -199,7 +200,8 @@ def _derive(env):
     gate name -> raw string; missing names take their defaults).  Called
     once at import with os.environ, and again by apply_gates when a
     decoded archive pins different gates."""
-    global N_IND, WIKI, X86X, GRID2, JPEGX, N_BANK, MATCH_ORDERS, N_MATCH
+    global N_IND, WIKI, X86X, GRID2, JPEGX, STEMX, N_BANK
+    global MATCH_ORDERS, N_MATCH
     global PPM_ORDERS, N_PPM, PPM_EXCL, PPM_UPD, BANK_CK, MIX_DYN3
     global MIX_DYN4
     global SBANK_COLS, N_SBANK, SBANK_KIND, SBANK_ADAPT
@@ -223,7 +225,12 @@ def _derive(env):
     X86X = gi("X86X")
     GRID2 = gi("GRID2")
     JPEGX = gi("JPEGX")
-    N_BANK = 47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 2 * JPEGX
+    # STEMX: 2 suffix-strip stem contexts (stem unigram, stem crossed
+    # with the current word prefix) -- the Porter2-stemmer capability
+    # of fxcm/paq8 text models (fxcmv1.cpp:2662-3209, paq8.cpp:1530-2998)
+    STEMX = gi("STEMX")
+    N_BANK = (47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 2 * JPEGX
+              + 2 * STEMX)
     #          25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
     #          + 2 line-grid + N_IND double-indirect
     MATCH_ORDERS = tuple(
@@ -813,6 +820,9 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
         j0 = 4 + 2 * GRID2
         vals.append(rec_vals[:, j0])
         vals.append(rec_vals[:, j0 + 1])
+    if STEMX:
+        vals.append(mix32(cs["last_stem"], jnp.uint32(0x85EBCA77)))
+        vals.append(mix32(cs["last_stem"], cs["word"] + jnp.uint32(0x1D)))
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24], above_l, v_alive

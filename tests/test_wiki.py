@@ -66,3 +66,30 @@ def test_cell_index_caps():
     data = b"|" * (CELL_W + 10)
     _, tr = _feed(data)
     assert tr[-1]["cellidx"] == CELL_W - 1
+
+
+def test_suffix_strip_stem():
+    """Inflected forms map to one stem context (the Porter2-class
+    capability, fxcmv1.cpp:2662-3209): 'jumping'/'jumped'/'jumps' end
+    with the same last_stem hash, distinct from 'jumper-like' stems of
+    other words."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cmix_tpu.contexts.hashes import (
+        init_ctx_state, update_ctx_state_batched)
+
+    def run(text):
+        cs = init_ctx_state()
+        cs = {k: jnp.broadcast_to(v, (1,) + v.shape) for k, v in cs.items()}
+        for ch in text.encode():
+            cs = update_ctx_state_batched(
+                cs, jnp.asarray([ch], dtype=jnp.uint32))
+        return int(np.asarray(cs["last_stem"])[0])
+
+    s_base = run("they jump ")
+    assert run("they jumping ") == s_base
+    assert run("they jumped ") == s_base
+    assert run("they jumps ") == s_base
+    assert run("they walked ") != s_base
+    # 'ss' endings are not plural-stripped
+    assert run("the glass ") != run("the glas ")
