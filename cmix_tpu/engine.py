@@ -2105,7 +2105,19 @@ def _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev, ind_prev_val):
     cs = pb["ctx"]  # already advanced to include byte
     B = byte.shape[0]
     bar = jnp.arange(B)
-    hs = jnp.stack([cs["ohash"][:, o] for o in MATCH_ORDERS], axis=1)
+    # match keys: byte orders, or word-keyed contexts for order codes
+    # >= 100 (the reference's word-context match models,
+    # src/predictor.cpp:122-131 AddWord matches) -- 100 = (last word,
+    # current prefix), 101 = (two words, current prefix)
+    def _mkey(o):
+        if o == 100:
+            return mix32(cs["last_word"], cs["word"] + jnp.uint32(0x9E37))
+        if o == 101:
+            return mix32(mix32(cs["last_word2"], cs["last_word"]),
+                         cs["word"] + jnp.uint32(0x85EB))
+        return cs["ohash"][:, o]
+
+    hs = jnp.stack([_mkey(o) for o in MATCH_ORDERS], axis=1)
     h = (mix32(hs, jnp.uint32(0x2545F491)) & mmask).astype(jnp.int32)
     moff = jnp.arange(N_MATCH, dtype=jnp.int32) * (1 << cfg.mbits)
     midx = moff[None, :] + h                                 # (B, 2)
