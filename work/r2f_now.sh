@@ -14,5 +14,6 @@ BASE="PPM_EXCL=1 CMIX_PPM_ORDERS=1,2,3,4,5,6,8,10,12,16,20,24 PPM_UPD=1 CMIX_MAT
 run F1-ck2 $BASE BANK_CK=2
 run F2-ck2-dyn4 $BASE BANK_CK=2 MIX_DYN4=1
 run F2b-stemx $BASE BANK_CK=2 MIX_DYN4=1 STEMX=1
-run F3-ck2-blk1 $BASE BANK_CK=2 MIX_DYN4=1 STEMX=1 BLKSZ=102400
+run F2c-wmatch PPM_EXCL=1 CMIX_PPM_ORDERS=1,2,3,4,5,6,8,10,12,16,20,24 PPM_UPD=1 CMIX_MATCH_ORDERS=1,2,3,5,8,12,16,24,100,101 MIX_DYN2=1 MIX_DYN3=1 BANK_CK=2 MIX_DYN4=1 STEMX=1
+run F3-ck2-blk1 PPM_EXCL=1 CMIX_PPM_ORDERS=1,2,3,4,5,6,8,10,12,16,20,24 PPM_UPD=1 CMIX_MATCH_ORDERS=1,2,3,5,8,12,16,24,100,101 MIX_DYN2=1 MIX_DYN3=1 BANK_CK=2 MIX_DYN4=1 STEMX=1 BLKSZ=102400
 echo "SERIES F DONE" >> $LOG
