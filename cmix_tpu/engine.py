@@ -111,6 +111,7 @@ _GATE_SPEC = (
     ("STAT_NORM", int, "1"),
     ("APM2X", int, "0"),
     ("APM_FIXED", int, "0"),
+    ("APM3X", int, "0"),
     ("CNT_CAP", int, "60"),
     ("DMC_LEVELS", int, "8"),
     ("PORT", int, "0"),
@@ -208,7 +209,8 @@ def _derive(env):
     global VMATCH, LMS, BANK_CH, DMC_IDX, N_INPUTS
     global MIX_DYN2, MIX_KIND, _MIX1_ROWS, N_MIX1, _MIX1_OFF, _MIX1_TOTAL
     global MIX_AUX, M2IN, MIX_LR, MIX_TAU, MIX_BOOST, MIX_BOOST_N
-    global W_APM_LEARN, MIX_NORM, STAT_NORM, APM2X, N_APM, APM_ROWS
+    global W_APM_LEARN, MIX_NORM, STAT_NORM, APM2X, APM3X, N_APM
+    global APM_ROWS
     global APM_FIXED, CNT_CAP, _SBANK_NEXT, _SBANK_P0, GATES, PORT
 
     GATES = {name: _norm_gate(name, typ, env.get(name, dflt))
@@ -391,8 +393,12 @@ def _derive(env):
     # stacks (fxcm's 6-APM chain, src/models/fxcmv1.cpp:4630-4833;
     # paq8's filetype APM chains, src/models/paq8.cpp:8208-8362)
     APM2X = gi("APM2X")
-    N_APM = 3 + 2 * APM2X
-    APM_ROWS = 576 + 512 * APM2X
+    # APM3X: one further SSE stage gated by the order-2 state-bank
+    # BIT-HISTORY state at the root node -- the capability class of
+    # Shelwien's bit-history SSE contexts (src/mixer/sse.cpp:210-305)
+    APM3X = gi("APM3X")
+    N_APM = 3 + 2 * APM2X + APM3X
+    APM_ROWS = 576 + 512 * APM2X + 256 * APM3X
     # 1 replaces the learned blend with the fixed probability-domain
     # combiner st_fin = 0.4*st(p_mix) + 0.6*st(mean(pa1..3)) (diagnostic)
     APM_FIXED = gi("APM_FIXED")
@@ -1465,6 +1471,10 @@ def _predict_tree_b(cfg, sh, pb, t):
         apm_gates.append(
             832 + (jnp.minimum(cs["linepos"], jnp.uint32(63)) * 4
                    + (cs["cls2reg"] & jnp.uint32(3))).astype(jnp.int32))
+    if APM3X:
+        sb2 = SBANK_COLS.index(1) if 1 in SBANK_COLS else 0
+        st_o2 = (srows[:, sb2, 1] & jnp.uint32(0xFF)).astype(jnp.int32)
+        apm_gates.append(576 + 512 * APM2X + st_o2)
     apm_idx = jnp.stack(apm_gates, axis=1)                   # (B, NA)
     apm_rows = sh["apm"][apm_idx]                            # (B, NA, 33)
     pas, tls, frs = [], [], []
