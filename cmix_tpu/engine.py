@@ -84,12 +84,12 @@ _GATE_SPEC = (
     ("CMIX_N_IND", int, "4"),
     ("WIKI", int, "1"),
     ("X86X", int, "0"),
-    ("CMIX_MATCH_ORDERS", str, "5,8,12,20"),
-    ("CMIX_PPM_ORDERS", str, "1,2,3,4,6,8,12"),
-    ("PPM_EXCL", int, "0"),
-    ("PPM_UPD", int, "0"),
-    ("BANK_CK", int, "0"),
-    ("MIX_DYN3", int, "0"),
+    ("CMIX_MATCH_ORDERS", str, "1,2,3,5,8,12,16,24"),
+    ("CMIX_PPM_ORDERS", str, "1,2,3,4,5,6,8,10,12,16,20,24"),
+    ("PPM_EXCL", int, "1"),
+    ("PPM_UPD", int, "1"),
+    ("BANK_CK", int, "1"),
+    ("MIX_DYN3", int, "1"),
     ("MIX_DYN4", int, "0"),
     ("CMIX_SBANK_COLS", str, "0,1,2,3,5,7,10,14,24,36"),
     ("SBANK_ADAPT", int, "0"),
@@ -99,7 +99,7 @@ _GATE_SPEC = (
     ("JPEGX", int, "0"),
     ("STEMX", int, "0"),
     ("BANK_CH", int, "1"),
-    ("MIX_DYN2", int, "0"),
+    ("MIX_DYN2", int, "1"),
     ("MIX_KIND", int, "0"),
     ("MIX_AUX", int, "0"),
     ("MIX_LR", float, "4e-3"),
@@ -109,7 +109,7 @@ _GATE_SPEC = (
     ("W_APM_LEARN", int, "1"),
     ("MIX_NORM", int, "1"),
     ("STAT_NORM", int, "1"),
-    ("APM2X", int, "0"),
+    ("APM2X", int, "1"),
     ("APM_FIXED", int, "0"),
     ("APM3X", int, "0"),
     ("CNT_CAP", int, "60"),

@@ -10,6 +10,12 @@ run() {
   echo >> $LOG
 }
 while ! grep -q "SCALE DONE" $LOG; do sleep 60; done
+echo "== BENCH-sanity (new defaults)" >> $LOG
+timeout 1200 $PY bench.py >> $LOG 2>&1
+echo >> $LOG
+echo "== F0-jpegx-retry" >> $LOG
+timeout 3000 $PY work/jpegx_probe.py >> $LOG 2>&1
+echo >> $LOG
 BASE="PPM_EXCL=1 CMIX_PPM_ORDERS=1,2,3,4,5,6,8,10,12,16,20,24 PPM_UPD=1 CMIX_MATCH_ORDERS=1,2,3,5,8,12,16,20,24 MIX_DYN2=1 MIX_DYN3=1"
 run F1-ck2 $BASE BANK_CK=2
 run F2-ck2-dyn4 $BASE BANK_CK=2 MIX_DYN4=1
