@@ -88,7 +88,7 @@ _GATE_SPEC = (
     ("CMIX_PPM_ORDERS", str, "1,2,3,4,5,6,8,10,12,16,20,24"),
     ("PPM_EXCL", int, "1"),
     ("PPM_UPD", int, "1"),
-    ("BANK_CK", int, "1"),
+    ("BANK_CK", int, "2"),
     ("MIX_DYN3", int, "1"),
     ("MIX_DYN4", int, "0"),
     ("CMIX_SBANK_COLS", str, "0,1,2,3,5,7,10,14,24,36"),
