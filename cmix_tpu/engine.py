@@ -231,7 +231,7 @@ def _derive(env):
     # with the current word prefix) -- the Porter2-stemmer capability
     # of fxcm/paq8 text models (fxcmv1.cpp:2662-3209, paq8.cpp:1530-2998)
     STEMX = gi("STEMX")
-    N_BANK = (47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 2 * JPEGX
+    N_BANK = (47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 4 * JPEGX
               + 2 * STEMX)
     #          25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
     #          + 2 line-grid + N_IND double-indirect
@@ -413,8 +413,9 @@ def _derive(env):
     # to the reference's -O3-portable contract (README:16).  The fast
     # default profile keeps f32 mixing and is portable only across runs
     # of the same executable (like the reference's -Ofast).  Portable
-    # mode requires the float-internal models to be off: lstm_hidden=0,
-    # dmc_nodes=0 in EngineConfig, and VMATCH=LMS=0.
+    # mode requires the float-internal LSTM off (lstm_hidden=0) and
+    # VMATCH=LMS=0; DMC is integer end-to-end (models/dmc.py
+    # predict_tree_p12) and stays on.
     PORT = gi("PORT")
     if PORT and (VMATCH or LMS or MIX_TAU or MIX_BOOST):
         raise FormatError("PORT=1 requires VMATCH=0, LMS=0, MIX_TAU=0 "
@@ -447,6 +448,8 @@ ST_CLAMP = 12.0            # stretch clamp: p in [6e-6, 1-6e-6]
 _SLOT_INIT = (4096 << 18) | (2048 << 6)   # p=0.5, st=0, cnt=0
 APM_RATE = 0.02            # SSE node update rate
 POS_BITS = 24              # match table: low bits position, high bits block
+PRETRAIN_SEG = 4096        # fixed pretrain segment length (format-defining:
+#                            sets the dictionary stream's padding)
 
 _derive(os.environ)
 
@@ -484,8 +487,25 @@ class EngineConfig:
     def __post_init__(self):
         object.__setattr__(self, "seg_size",
                            min(self.seg_size, self.block_size))
-        assert self.block_size % self.seg_size == 0
-        assert self.block_size <= (1 << POS_BITS)
+        for name in ("block_size", "seg_size"):
+            v = getattr(self, name)
+            if v <= 0 or v & (v - 1):
+                raise FormatError(f"{name}={v} must be a power of two "
+                                  "(the archive header stores its log2)")
+        if self.block_size % self.seg_size:
+            raise FormatError("block_size must be a multiple of seg_size")
+        if self.block_size > (1 << POS_BITS):
+            raise FormatError(
+                f"block_size {self.block_size} exceeds the match-table "
+                f"position width (2^{POS_BITS})")
+        if self.dmc_nodes > 65536:
+            raise FormatError(
+                f"dmc_nodes={self.dmc_nodes} exceeds 65536 (DMC node ids "
+                "are packed in 16 bits; see models/dmc.py)")
+        if self.dmc_nodes and self.dmc_nodes < dmc.N_BASE + 2:
+            raise FormatError(
+                f"dmc_nodes={self.dmc_nodes} is below the base braid "
+                f"({dmc.N_BASE + 2}); use 0 to disable DMC")
 
     @property
     def rows(self):
@@ -519,10 +539,11 @@ def init_shared(cfg: EngineConfig):
     (same keys): d0_p/sbank_p/match_conf/ppm_see/apm hold p12 int32,
     mixer weights hold 16-bit-fraction fixed point int32, biases hold
     st256 int32.  All other tables are integer in both profiles."""
-    if PORT and (cfg.lstm_hidden or cfg.dmc_nodes):
+    if PORT and cfg.lstm_hidden:
         raise FormatError(
-            "PORT=1 requires lstm_hidden=0 and dmc_nodes=0 (their "
-            "internals are float; the portable profile excludes them)")
+            "PORT=1 requires lstm_hidden=0 (the LSTM's internals are "
+            "float; the portable profile excludes it.  DMC runs fully "
+            "integer and stays on)")
     sh = {
         # bank slot bits: [0..5] cnt | [6..17] p12 | [18..30] st13 where
         # st13 = round(stretch*256)+4096 -- the stretch is precomputed at
@@ -824,8 +845,8 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
         vals.append(rec_vals[:, 5])
     if JPEGX:
         j0 = 4 + 2 * GRID2
-        vals.append(rec_vals[:, j0])
-        vals.append(rec_vals[:, j0 + 1])
+        for jj in range(4):
+            vals.append(rec_vals[:, j0 + jj])
     if STEMX:
         vals.append(mix32(cs["last_stem"], jnp.uint32(0x85EBCA77)))
         vals.append(mix32(cs["last_stem"], cs["word"] + jnp.uint32(0x1D)))
@@ -895,11 +916,21 @@ def _record_ctx_vals(cfg, pb, t):
             return ((d > 0).astype(jnp.uint32) + (d > 1) + (d > 3)
                     + (d > 7) + (d > 15) + (d > 31) + (d > 63))
 
+        lfj2 = pb["hist"][bar, jnp.mod(t - 2, n)].astype(jnp.uint32)
         vals.append(mix32(above | (lfj << U8),
                           ck + jnp.uint32(0x7F4A7C15)))      # N,W per (c,k)
         vals.append(mix32(ck | (_magq(above) << jnp.uint32(12))
                           | (_magq(lfj) << jnp.uint32(16)),
                           jnp.uint32(0xE6546B64)))           # band stats
+        # round-3 value-modeling contexts (VERDICT #4): the plane id
+        # alone (each (component, zigzag) plane is a stationary
+        # coefficient distribution -- the per-coefficient-position
+        # stats of the reference jpegModel, paq8.cpp:5871-6589), and
+        # the two in-plane left neighbors (horizontal block
+        # correlation of coefficient values)
+        vals.append(mix32(ck, jnp.uint32(0x2545F491)))       # plane
+        vals.append(mix32(lfj | (lfj2 << U8),
+                          ck + jnp.uint32(0x9E3779B9)))      # W,WW
     return jnp.stack(vals, axis=1), rl, posr
 
 
@@ -1274,7 +1305,10 @@ def _predict_tree_b(cfg, sh, pb, t):
                     - 4096.0) * (1.0 / 256.0)                # (B, NS, 256)
 
     # ---- DMC: grown bit-automaton prediction per tree node
-    if cfg.dmc_nodes:
+    if cfg.dmc_nodes and PORT:
+        st_dmc = (stretch13_from_p12(dmc.predict_tree_p12(pb))
+                  - 4096)[:, None, :]
+    elif cfg.dmc_nodes:
         st_dmc = _stretch_f(dmc.predict_tree(pb))[:, None, :]
     else:
         st_dmc = jnp.zeros((B, 1, 256),
@@ -1911,6 +1945,18 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     B_f = 1.0 / B if MIX_NORM else 1.0       # dense-row mean vs sum
     err1 = (target[:, None, :] - aux["p1"]) * on_path[:, None, :]  # (B,8,256)
     dws = jnp.einsum("bmk,bnk->bmn", err1, aux["x"])         # (B, 8, NIN)
+    if BANK_CH > 1:
+        # per-channel LR (round-3 BANK_CH conditioning fix, VERDICT #3):
+        # the appended confidence/maturity channels are collinear with
+        # their primary stretches, so full-rate updates let them race
+        # the primaries and destabilize the mix (rounds 1-2 measured
+        # BANK_CH>1 as a loss).  Zero-init (round 2) + quarter-rate
+        # learning on the auxiliary columns.
+        n_pri = N_INPUTS - (BANK_CH - 1) * N_BANK
+        ch_scale = jnp.concatenate([
+            jnp.ones(n_pri, jnp.float32),
+            jnp.full(N_INPUTS - n_pri, 0.25, jnp.float32)])
+        dws = dws * ch_scale[None, None, :]
     sh["w1"] = sh["w1"].at[0].set(
         aux["w_const"] + lr * B_f * jnp.sum(dws[:, 0], axis=0))
     lvl_onehot = jnp.asarray(_LVL_ONEHOT)                    # (8, 256)
@@ -2012,6 +2058,11 @@ def _update_mixers_int(cfg, sh, aux, target_i, on_path, n8, t8, B):
     err1 = (target_i[:, None, :] * 4096 - aux["p1"]) \
         * onp_i[:, None, :]                                  # (B, M1, 256)
     dws8 = jnp.einsum("bmk,bnk->bmn", err1, x) >> 8          # (B, M1, NIN)
+    if BANK_CH > 1:
+        # quarter-rate aux channels (see the f32 twin's note)
+        n_pri = N_INPUTS - (BANK_CH - 1) * N_BANK
+        dws8 = jnp.concatenate(
+            [dws8[:, :, :n_pri], dws8[:, :, n_pri:] >> 2], axis=2)
     agg_c = jnp.sum(dws8[:, 0], axis=0)
     if MIX_NORM:
         agg_c = agg_c // B
@@ -2408,18 +2459,27 @@ def make_transcoder(cfg: EngineConfig):
 def make_pretrainer(cfg: EngineConfig):
     """``(sh, data) -> sh``: replays a training stream (B=1) through the
     full model-update path; positional state is discarded afterwards
-    (cf. Pretrain, src/predictor.cpp:471-487 + runner.cpp:206)."""
-    seg_jit = jax.jit(make_segment_fn(cfg), donate_argnums=(0, 1, 2))
+    (cf. Pretrain, src/predictor.cpp:471-487 + runner.cpp:206).
+
+    The pretrain program runs at a FIXED internal segment length
+    (independent of cfg.seg_size): the stream is padded to a multiple of
+    the segment, so a seg_size-dependent length would bake the caller's
+    host-chunking choice into the pretrained state -- the round-2 scale
+    desync.  With the fixed length the pretrained state depends only on
+    (format, dictionary, table shapes)."""
+    import dataclasses
+    pcfg = dataclasses.replace(cfg, seg_size=PRETRAIN_SEG)
+    seg_jit = jax.jit(make_segment_fn(pcfg), donate_argnums=(0, 1, 2))
 
     def pretrain(sh, data):
         data = np.asarray(data)
-        s = cfg.seg_size
+        s = pcfg.seg_size
         n = ((len(data) + s - 1) // s) * s
         pad = np.full(n, 32, dtype=np.uint8)
         pad[:len(data)] = data
         pb = jax.tree_util.tree_map(
             lambda x: jnp.tile(x[None], (1,) + (1,) * x.ndim),
-            init_perblock(cfg))
+            init_perblock(pcfg))
         cd = jax.tree_util.tree_map(
             lambda x: jnp.tile(x[None], (1,) + (1,) * x.ndim),
             init_coder(cfg))
@@ -2428,12 +2488,12 @@ def make_pretrainer(cfg: EngineConfig):
         for si in range(n // s):
             seg = jnp.asarray(pad[si * s:(si + 1) * s][:, None])
             # t wraps so history writes stay in range
-            t0 = jnp.int32((si * s) % cfg.block_size)
+            t0 = jnp.int32((si * s) % pcfg.block_size)
             sh, pb, cd, _, _ = seg_jit(sh, pb, cd, t0, seg, comp, mode)
         # match entries point into the discarded pretrain history: zero
         # the match region of the aux arena (indirect-hash region stays)
         sh = dict(sh)
-        mlen = N_MATCH * (1 << cfg.mbits)
+        mlen = N_MATCH * (1 << pcfg.mbits)
         sh["aux_tbl"] = sh["aux_tbl"].at[:mlen].set(0)
         return sh
 

@@ -102,6 +102,16 @@ def _p_of_units(c0u, c1u):
     return (c1 + 0.3) / (c0 + c1 + 0.6)
 
 
+def _p12_of_units(c0u, c1u):
+    """Integer twin (portable profile): the same (c1+0.3)/(c0+c1+0.6)
+    as an exact p12 integer division.  With c = units/UNIT the ratio is
+    (10*c1u + 3*UNIT) / (10*(c0u+c1u) + 6*UNIT); counts cap at
+    LIMIT_U=2040 so the scaled numerator stays far below 2^31."""
+    num = 10 * c1u + 3 * UNIT
+    den = 10 * (c0u + c1u) + 6 * UNIT
+    return jnp.clip((num << 12) // den, 1, 4095)
+
+
 def predict_tree(pb):
     """p(bit=1) for every byte-tree node: f32 (B, 256).
 
@@ -127,6 +137,30 @@ def predict_tree(pb):
             [probs, jnp.full((B, 256 - probs.shape[1]), 0.5,
                              probs.dtype)], axis=1)
     return probs
+
+
+def predict_tree_p12(pb):
+    """Integer twin of predict_tree (portable profile): p12 int32
+    (B, 256).  The walk is the same integer pointer chase; only the
+    final count->probability step differs (exact integer division)."""
+    nxt, cnt = pb["dmc_nxt"], pb["dmc_cnt"]
+    B = nxt.shape[0]
+    frontier = pb["dmc_cur"][:, None]
+    visited = [jnp.zeros((B, 1), jnp.int32), frontier]
+    for _lev in range(1, min(DMC_LEVELS, 8)):
+        w = frontier.shape[1]
+        word = jnp.take_along_axis(nxt, frontier, axis=1)
+        c0, c1 = _unpack(word)
+        frontier = jnp.stack([c0, c1], axis=2).reshape(B, 2 * w)
+        visited.append(frontier)
+    st = jnp.concatenate(visited, axis=1)
+    cw = jnp.take_along_axis(cnt, st, axis=1)
+    p12 = _p12_of_units(*_unpack(cw))
+    if p12.shape[1] < 256:
+        p12 = jnp.concatenate(
+            [p12, jnp.full((B, 256 - p12.shape[1]), 2048, p12.dtype)],
+            axis=1)
+    return p12
 
 
 def byte_update(pb, byte):

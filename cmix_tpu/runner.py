@@ -86,8 +86,13 @@ _RAW_FLAG = 0x80000000
 _FLAG_WRT = 1
 _FLAG_PRETRAIN = 2
 
-_HDR = "<BBBBBBBBBBHHQQI8s32s"    # u8 log2(dmc_nodes) (0 = off),
-#                                   u8 lstm layers, u8 lstm horizon
+_HDR = "<BBBBBBBBBBBHHQQI8s32s"   # u8 log2(dmc_nodes) (0 = off),
+#                                   u8 log2(seg_size), u8 lstm layers,
+#                                   u8 lstm horizon
+# log2(seg_size) is format-relevant for the same reason exec_batch is:
+# the segment length is part of the compiled shape, and it sets the
+# pretraining stream's padding -- a decode at a different seg_size
+# desynchronizes (this was the round-2 scale-run decode failure).
 _HDR_LEN = struct.calcsize(_HDR)
 
 _TRANSCODER_CACHE = {}
@@ -293,6 +298,7 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         _HDR, FORMAT_VERSION, flags, cfg.block_size.bit_length() - 1,
         cfg.tbits, cfg.mbits, cfg.ibits, cfg.pbits,
         cfg.dmc_nodes.bit_length() - 1 if cfg.dmc_nodes else 0,
+        cfg.seg_size.bit_length() - 1,
         cfg.lstm_layers, cfg.lstm_horizon,
         cfg.lstm_hidden, eb, len(data), len(payload), nb, fp, vocab) \
         + struct.pack("<H", len(gates)) + gates
@@ -358,13 +364,14 @@ def decompress(archive: bytes, max_batch: int = 64,
 
 def _decompress_body(archive, hdr, off, max_batch, dictionary, meter,
                      show_progress):
-    (ver, flags, log_bs, tbits, mbits, ibits, pbits, dmc_log, lstm_layers,
-     lstm_horizon, lstm_hidden, eb, orig_len, payload_len, nb, fp,
-     vocab) = hdr
+    (ver, flags, log_bs, tbits, mbits, ibits, pbits, dmc_log, log_seg,
+     lstm_layers, lstm_horizon, lstm_hidden, eb, orig_len, payload_len,
+     nb, fp, vocab) = hdr
     cfg = EngineConfig(block_size=1 << log_bs, tbits=tbits, mbits=mbits,
                        ibits=ibits, pbits=pbits, lstm_hidden=lstm_hidden,
                        lstm_layers=lstm_layers, lstm_horizon=lstm_horizon,
-                       dmc_nodes=(1 << dmc_log) if dmc_log else 0)
+                       dmc_nodes=(1 << dmc_log) if dmc_log else 0,
+                       seg_size=1 << log_seg)
     d, dict_bytes, fp2 = _load_dictionary(dictionary)
     base = None
     if flags & _FLAG_PRETRAIN:
@@ -510,9 +517,8 @@ def main(argv=None):
     ap.add_argument("--portable", action="store_true",
                     help="portable profile: integer model math, archives "
                     "decode bit-exactly on any platform/executable "
-                    "(LSTM and DMC are excluded; some ratio is traded "
-                    "for portability, like the reference's -O3 vs "
-                    "-Ofast)")
+                    "(the LSTM is excluded; some ratio is traded for "
+                    "portability, like the reference's -O3 vs -Ofast)")
     args = ap.parse_args(argv)
     if args.dictionary == "auto":
         args.dictionary = os.path.join(
@@ -529,7 +535,7 @@ def main(argv=None):
     if args.mode in ("c", "t"):
         cfg = EngineConfig(block_size=args.block_size, tbits=args.tbits,
                            lstm_hidden=0 if args.portable else args.lstm,
-                           dmc_nodes=0 if args.portable else args.dmc)
+                           dmc_nodes=args.dmc)
         with trace(args.profile):
             out = compress(data, cfg, max_batch=args.max_batch,
                            dictionary=args.dictionary, meter=meter,

@@ -36,12 +36,42 @@ def count_words(blobs, min_len=2):
     return counts
 
 
-def build_dictionary(blobs, max_words=44514, min_count=2, min_len=2):
+def build_dictionary(blobs, max_words=44514, min_count=2, min_len=2,
+                     core=True, min_docs=1):
     """Frequency-ordered word list (ties broken alphabetically so the
-    output is deterministic across runs and platforms)."""
-    counts = count_words(blobs, min_len=min_len)
+    output is deterministic across runs and platforms).
+
+    core=True prepends the hand-curated common-English head
+    (core_words.py) so the 1-byte/early-2-byte codeword bands go to
+    genuinely common words even when the only local corpora are source
+    trees (ADVICE.md round 2: a license/source-boilerplate head
+    underperforms on ordinary English).  min_docs > 1 drops words seen
+    in fewer than that many distinct input blobs (filters file-local
+    identifiers like qopenglfunctions)."""
+    counts = collections.Counter()
+    docs = collections.Counter()
+    for blob in blobs:
+        c = count_words([blob], min_len=min_len)
+        counts.update(c)
+        docs.update(c.keys())
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-    return [w for w, c in ranked[:max_words] if c >= min_count]
+    head = []
+    if core:
+        from cmix_tpu.tools.core_words import core_list
+        head = core_list()
+    seen = set(head)
+    out = list(head)
+    for w, c in ranked:
+        if len(out) >= max_words:
+            break
+        ws = w.decode("ascii") if isinstance(w, bytes) else w
+        if c < min_count or docs[w] < min_docs or ws in seen:
+            continue
+        if len(ws) > 20:
+            continue
+        seen.add(ws)
+        out.append(ws)
+    return out[:max_words]
 
 
 def main(argv=None):
@@ -54,6 +84,10 @@ def main(argv=None):
     ap.add_argument("--max-words", type=int, default=44514)
     ap.add_argument("--min-count", type=int, default=2)
     ap.add_argument("--min-len", type=int, default=2)
+    ap.add_argument("--min-docs", type=int, default=1,
+                    help="drop words seen in fewer distinct input files")
+    ap.add_argument("--no-core", action="store_true",
+                    help="skip the curated common-English head")
     args = ap.parse_args(argv)
 
     def blobs():
@@ -63,7 +97,9 @@ def main(argv=None):
 
     words = build_dictionary(blobs(), max_words=args.max_words,
                              min_count=args.min_count,
-                             min_len=args.min_len)
+                             min_len=args.min_len,
+                             core=not args.no_core,
+                             min_docs=args.min_docs)
     with open(args.output, "wb") as f:
         f.write(b"\n".join(words) + b"\n")
     print(f"{args.output}: {len(words)} words")

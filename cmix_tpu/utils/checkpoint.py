@@ -42,11 +42,16 @@ def load_state(path, like):
 
 
 def pretrain_cache_key(cfg, dict_bytes):
+    import dataclasses
     from cmix_tpu.version import FORMAT_VERSION
-    from cmix_tpu.engine import init_shared, gates_blob
+    from cmix_tpu.engine import init_shared, gates_blob, PRETRAIN_SEG
     h = hashlib.sha256()
     h.update(str(FORMAT_VERSION).encode())
-    h.update(repr(cfg).encode())
+    # the pretrainer runs at its own fixed segment length, so the
+    # caller's seg_size must not split the cache (nor, before round 3's
+    # fix, silently produce DIFFERENT states on encode vs decode)
+    h.update(repr(dataclasses.replace(cfg, seg_size=PRETRAIN_SEG)
+                  ).encode())
     # gates change update rules without necessarily changing shapes
     h.update(gates_blob())
     # bind the key to the actual state structure so any ensemble change

@@ -6,5 +6,5 @@ ensemble (like the reference, where the predictor IS the format:
 wiring, update rules, or the coder bumps FORMAT_VERSION.
 """
 
-FORMAT_VERSION = 16
+FORMAT_VERSION = 17
 MAGIC = b"TCMX"

@@ -98,7 +98,7 @@ def test_decode_structured_errors():
 
     def hdr(ver, glen=0):
         return MAGIC + struct.pack(
-            _HDR, ver, 0, 11, 12, 12, 12, 12, 0, 1, 1, 0, 1, 0, 0, 0,
+            _HDR, ver, 0, 11, 12, 12, 12, 12, 0, 11, 1, 1, 0, 1, 0, 0, 0,
             b"\0" * 8, b"\xff" * 32) + struct.pack("<H", glen)
 
     with pytest.raises(FormatError, match="version"):

@@ -78,7 +78,8 @@ def test_portable_cross_executable():
     from cmix_tpu import engine
     from cmix_tpu.engine import make_transcoder, init_shared, init_perblock
     pcfg = EngineConfig(block_size=256, tbits=10, mbits=10, ibits=8,
-                        lstm_hidden=0, dmc_nodes=0)
+                        lstm_hidden=0, dmc_nodes=8192)  # DMC in PORT:
+    #                     integer end-to-end since round 3
     prev = engine.gates_blob()
     engine.apply_gates(b"PORT=1")
     try:
