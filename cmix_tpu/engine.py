@@ -2421,6 +2421,18 @@ def make_transcoder(cfg: EngineConfig):
         inp_T = jnp.transpose(jnp.asarray(inp))
         n_segs = cfg.block_size // cfg.seg_size
         parts = [[] for _ in range(b)]
+        # one-segment-deep pipeline: dispatch segment si+1 before
+        # materializing segment si's outputs, so the device never idles
+        # on the host-side compaction copy (JAX dispatch is async; it is
+        # the np.asarray that blocks)
+        pending = None
+
+        def drain(pend):
+            seg_out, seg_len = np.asarray(pend[0]), np.asarray(pend[1])
+            with ph("host"):
+                for i in range(b):
+                    parts[i].append(seg_out[i, :seg_len[i]].tobytes())
+
         for si in range(n_segs):
             seg = inp_T[si * cfg.seg_size:(si + 1) * cfg.seg_size]
             with ph("compile" if si == 0 and meter and not meter.segments
@@ -2429,15 +2441,16 @@ def make_transcoder(cfg: EngineConfig):
                     sh, pb, cd, jnp.int32(si * cfg.seg_size), seg, comp,
                     mode)
                 seg_out, seg_len = comp_jit(e32, c32)
-                seg_out = np.asarray(seg_out)
-                seg_len = np.asarray(seg_len)
-            with ph("host"):
-                for i in range(b):
-                    parts[i].append(seg_out[i, :seg_len[i]].tobytes())
+            if pending is not None:
+                drain(pending)
+            pending = (seg_out, seg_len)
             if meter:
                 meter.add_segment(b * cfg.seg_size)
             if progress:
                 progress((si + 1) * cfg.seg_size * b)
+        if pending is not None:
+            with ph("device"):
+                drain(pending)
         x1 = np.asarray(cd["x1"])
         hist = np.asarray(pb["hist"])
         out = np.zeros((b, cfg.comp_size), dtype=np.uint8)
