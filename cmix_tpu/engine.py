@@ -85,6 +85,7 @@ _GATE_SPEC = (
     ("WIKI", int, "1"),
     ("X86X", int, "0"),
     ("CMIX_MATCH_ORDERS", str, "1,2,3,5,8,12,16,24"),
+    ("MATCH2", int, "0"),
     ("CMIX_PPM_ORDERS", str, "1,2,3,4,5,6,8,10,12,16,20,24"),
     ("PPM_EXCL", int, "1"),
     ("PPM_UPD", int, "1"),
@@ -202,7 +203,7 @@ def _derive(env):
     once at import with os.environ, and again by apply_gates when a
     decoded archive pins different gates."""
     global N_IND, WIKI, X86X, GRID2, JPEGX, STEMX, N_BANK
-    global MATCH_ORDERS, N_MATCH
+    global MATCH_ORDERS, N_MATCH, MATCH2
     global PPM_ORDERS, N_PPM, PPM_EXCL, PPM_UPD, BANK_CK, MIX_DYN3
     global MIX_DYN4
     global SBANK_COLS, N_SBANK, SBANK_KIND, SBANK_ADAPT
@@ -238,6 +239,13 @@ def _derive(env):
     MATCH_ORDERS = tuple(
         int(o) for o in GATES["CMIX_MATCH_ORDERS"].split(","))
     N_MATCH = len(MATCH_ORDERS)
+    # MATCH2: multi-candidate matching (the capability class of fxcm's
+    # MatchModel2, src/models/fxcmv1.cpp:3420-3676): each match-table
+    # key stores the TWO most recent positions; a secondary cursor per
+    # order follows the older candidate and votes through its own
+    # learned length-confidence, so one stale hot position no longer
+    # hides a better older match.
+    MATCH2 = gi("MATCH2")
     PPM_ORDERS = tuple(
         int(o) for o in GATES["CMIX_PPM_ORDERS"].split(","))
     N_PPM = len(PPM_ORDERS)
@@ -315,7 +323,8 @@ def _derive(env):
     BANK_CH = gi("BANK_CH")
     DMC_IDX = N_BANK + 4 + N_MATCH + 2 + N_SBANK  # dmc channel pos in x
     N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH
-                + (1 if LMS else 0) + (BANK_CH - 1) * N_BANK)
+                + (1 if LMS else 0) + MATCH2 * N_MATCH
+                + (BANK_CH - 1) * N_BANK)
     # bank + (d0+d1+d2+brk) + match + lstm + ppm + state bank + dmc
 
     # layer-1 mixer gate rows: const, level, last byte, order-2 bits,
@@ -554,10 +563,12 @@ def init_shared(cfg: EngineConfig):
         "d0_c": jnp.zeros(256, dtype=jnp.float32),
         # exact order-1 + order-2 + bracket byte models in one row arena
         "d12": jnp.full((D12_ROWS, 256), _SLOT_INIT, dtype=jnp.uint32),
-        # match tables (N_MATCH x 2^mbits) and the indirect-hash table
+        # match tables (N_MATCH x 2^mbits slots, MATCH2 doubles each
+        # slot to a 2-deep recency stack) and the indirect-hash table
         # share one flat uint32 arena so their updates are one scatter
         "aux_tbl": jnp.zeros(
-            N_MATCH * (1 << cfg.mbits) + N_IND * (1 << cfg.ibits),
+            (1 + MATCH2) * N_MATCH * (1 << cfg.mbits)
+            + N_IND * (1 << cfg.ibits),
             dtype=jnp.uint32),
         "match_conf": jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32),
         "vmatch_conf": jnp.full(32, 0.55, dtype=jnp.float32),
@@ -637,6 +648,10 @@ def init_shared(cfg: EngineConfig):
                          jnp.int32)])[None], (64, 1)),
         })
         del sh["vmatch_conf"], sh["lms_conf"], sh["w1_cnt"]
+    if MATCH2:
+        sh["match2_conf"] = (
+            jnp.full((N_MATCH, 32), 2253, dtype=jnp.int32) if PORT
+            else jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32))
     if BANK_CK:
         # per-row check bytes; 256 = virgin (matches no context's check,
         # so untouched rows read as fresh)
@@ -657,6 +672,10 @@ def init_perblock(cfg: EngineConfig):
         "mp_blk": jnp.zeros(N_MATCH, dtype=jnp.int32),
         "mp_pos": jnp.zeros(N_MATCH, dtype=jnp.int32),
         "match_len": jnp.zeros(N_MATCH, dtype=jnp.int32),
+        **({"mp2_blk": jnp.zeros(N_MATCH, dtype=jnp.int32),
+            "mp2_pos": jnp.zeros(N_MATCH, dtype=jnp.int32),
+            "match2_len": jnp.zeros(N_MATCH, dtype=jnp.int32)}
+           if MATCH2 else {}),
         # record model (capability of paq8 recordModel, paq8.cpp:4204):
         # per-byte-value last position + last gap vote a record length
         "rec_lastpos": jnp.full(256, -1, dtype=jnp.int32),
@@ -1257,6 +1276,32 @@ def _predict_tree_b(cfg, sh, pb, t):
         sign = jnp.where(exp_bit == 1, 1.0, -1.0)
         st_match = jnp.where(alive, sign * _stretch_f(conf)[:, :, None],
                              0.0)
+    if MATCH2:
+        # secondary candidates (fxcm MatchModel2 class, see _derive)
+        exp_byte2 = pb["hist"][
+            pb["mp2_blk"], jnp.clip(pb["mp2_pos"], 0, cfg.block_size - 1)
+        ].astype(jnp.int32)
+        lenb2 = jnp.minimum(pb["match2_len"], 31)
+        conf2 = sh["match2_conf"][jnp.arange(N_MATCH)[None, :], lenb2]
+        exp_pref2 = (1 << level)[None, None, :] + (
+            exp_byte2[:, :, None] >> (8 - level)[None, None, :])
+        alive2 = (node[None, None, :] == exp_pref2) & \
+            (pb["match2_len"] > 0)[:, :, None]
+        exp_bit2 = (exp_byte2[:, :, None]
+                    >> (7 - level)[None, None, :]) & 1
+        if PORT:
+            sign2 = jnp.where(exp_bit2 == 1, 1, -1)
+            st_match2 = jnp.where(
+                alive2,
+                sign2 * (stretch13_from_p12(conf2) - 4096)[:, :, None], 0)
+        else:
+            sign2 = jnp.where(exp_bit2 == 1, 1.0, -1.0)
+            st_match2 = jnp.where(
+                alive2, sign2 * _stretch_f(conf2)[:, :, None], 0.0)
+        m2 = [st_match2]
+    else:
+        alive2 = exp_bit2 = lenb2 = conf2 = None
+        m2 = []
 
     if cfg.lstm_hidden:
         qcum = pb["lstm"]["qcum"]                            # (B, 257)
@@ -1362,7 +1407,7 @@ def _predict_tree_b(cfg, sh, pb, t):
         vm = []
     x = jnp.concatenate(
         [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm,
-         st_sbank, st_dmc] + lm + vm, axis=1)                # (B, NIN, 256)
+         st_sbank, st_dmc] + lm + vm + m2, axis=1)           # (B, NIN, 256)
     if BANK_CH > 1:
         # extra per-bank-model channels (see the BANK_CH note above);
         # the slot count is already in the gathered rows -- the widened
@@ -1556,6 +1601,7 @@ def _predict_tree_b(cfg, sh, pb, t):
                see_d=see_d, see_t=see_t, see_p=see_p, ptot=ptot,
                d12rows=d12rows, apm_idx=apm_idx, apm_rows=apm_rows,
                alive=alive, exp_bit=exp_bit, lenb=lenb,
+               alive2=alive2, exp_bit2=exp_bit2, lenb2=lenb2, conf2=conf2,
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
                w_level=w_level, p1=p1, st1=st1c, p_mix=p_mix,
                p2=p2, st2=st2, clsg=clsg,
@@ -1880,39 +1926,46 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
             s_ar[None, :], aux["srowi"]].set(new_srows)
 
     # ---- match confidence: dense one-hot aggregation (no scatter)
-    if PORT:
-        hit_i = (aux["exp_bit"] == target_i[:, None, :]).astype(jnp.int32)
-        w_i = aux["alive"].astype(jnp.int32) * \
+    def _mc_update_int(key, exp_bit, alive_m, conf, lenb):
+        hit_i = (exp_bit == target_i[:, None, :]).astype(jnp.int32)
+        w_i = alive_m.astype(jnp.int32) * \
             on_path.astype(jnp.int32)[:, None, :]            # (B, NM, 256)
         n_al = jnp.sum(w_i, axis=2)                          # (B, NM)
         frac12 = (jnp.sum(hit_i * w_i, axis=2) << 12) \
             // jnp.maximum(n_al, 1)
-        derr_i = (((frac12 - aux["conf"]) * 123) >> 12) \
+        derr_i = (((frac12 - conf) * 123) >> 12) \
             * jnp.minimum(n_al, 1)                           # 0.03 * 4096
         oh_i = (jnp.arange(32)[None, None, :]
-                == aux["lenb"][:, :, None]).astype(jnp.int32)
+                == lenb[:, :, None]).astype(jnp.int32)
         d_mc_i = jnp.sum(oh_i * derr_i[:, :, None], axis=0)  # (NM, 32)
         if STAT_NORM:
             act = (derr_i != 0).astype(jnp.int32)
             n_mc = jnp.sum(oh_i * act[:, :, None], axis=0)
             d_mc_i = d_mc_i // jnp.maximum(n_mc, 1)
-        sh["match_conf"] = jnp.clip(sh["match_conf"] + d_mc_i, 4, 4092)
-    else:
-        hit = (aux["exp_bit"].astype(jnp.float32) == target[:, None, :])
-        af = aux["alive"].astype(jnp.float32)
-        wsum = af * on_path[:, None, :]                      # (B, 2, 256)
-        n_alive = jnp.sum(wsum, axis=2)                      # (B, 2)
+        sh[key] = jnp.clip(sh[key] + d_mc_i, 4, 4092)
+
+    def _mc_update_f32(key, exp_bit, alive_m, conf, lenb):
+        hit = (exp_bit.astype(jnp.float32) == target[:, None, :])
+        af = alive_m.astype(jnp.float32)
+        wsum = af * on_path[:, None, :]                      # (B, NM, 256)
+        n_alive = jnp.sum(wsum, axis=2)                      # (B, NM)
         frac_hit = jnp.sum(hit * wsum, axis=2) / jnp.maximum(n_alive, 1.0)
-        derr = (frac_hit - aux["conf"]) * 0.03 * jnp.minimum(n_alive, 1.0)
+        derr = (frac_hit - conf) * 0.03 * jnp.minimum(n_alive, 1.0)
         oh_len = (jnp.arange(32)[None, None, :]
-                  == aux["lenb"][:, :, None]).astype(jnp.float32)
+                  == lenb[:, :, None]).astype(jnp.float32)
         d_mc = jnp.sum(oh_len * derr[:, :, None], axis=0)    # (NM, 32)
         if STAT_NORM:
             active = (jnp.abs(derr) > 0).astype(jnp.float32)
             n_mc = jnp.sum(oh_len * active[:, :, None], axis=0)
             d_mc = d_mc / jnp.maximum(n_mc, 1.0)
-        sh["match_conf"] = jnp.clip(sh["match_conf"] + d_mc,
-                                    1e-3, 1 - 1e-3)
+        sh[key] = jnp.clip(sh[key] + d_mc, 1e-3, 1 - 1e-3)
+
+    _mc = _mc_update_int if PORT else _mc_update_f32
+    _mc("match_conf", aux["exp_bit"], aux["alive"], aux["conf"],
+        aux["lenb"])
+    if MATCH2:
+        _mc("match2_conf", aux["exp_bit2"], aux["alive2"], aux["conf2"],
+            aux["lenb2"])
     if VMATCH:
         v_af = aux["valive"].astype(jnp.float32)             # (B,)
         vhit = (aux["vexp"] == byte).astype(jnp.float32)
@@ -2180,19 +2233,29 @@ def _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev, ind_prev_val):
 
     hs = jnp.stack([_mkey(o) for o in MATCH_ORDERS], axis=1)
     h = (mix32(hs, jnp.uint32(0x2545F491)) & mmask).astype(jnp.int32)
-    moff = jnp.arange(N_MATCH, dtype=jnp.int32) * (1 << cfg.mbits)
-    midx = moff[None, :] + h                                 # (B, 2)
-    cand = sh["aux_tbl"][midx].astype(jnp.int32)             # (B, 2)
+    mstride = 1 + MATCH2            # MATCH2: 2-deep recency stack per key
+    moff = jnp.arange(N_MATCH, dtype=jnp.int32) \
+        * (mstride << cfg.mbits)
+    midx = moff[None, :] + mstride * h                       # (B, NM)
+    cand = sh["aux_tbl"][midx].astype(jnp.int32)             # (B, NM)
     ins = jnp.broadcast_to(
         ((bar[:, None] << POS_BITS) | (t + 1)).astype(jnp.uint32),
         (B, N_MATCH))
 
-    ind_base = N_MATCH * (1 << cfg.mbits)
+    ind_base = mstride * N_MATCH * (1 << cfg.mbits)
     ind_off = ind_base + jnp.arange(N_IND, dtype=jnp.int32) * (1 << cfg.ibits)
     newv = mix32(ind_prev_val, byte[:, None].astype(jnp.uint32))  # (B, NI)
-    widx = jnp.concatenate(
-        [midx, ind_off[None, :] + ind_key_prev], axis=1)     # (B, NM+NI)
-    wval = jnp.concatenate([ins, newv], axis=1)
+    if MATCH2:
+        cand2 = sh["aux_tbl"][midx + 1].astype(jnp.int32)    # (B, NM)
+        # recency shift: slot1 takes the old latest, slot0 the new pos
+        widx = jnp.concatenate(
+            [midx, midx + 1, ind_off[None, :] + ind_key_prev], axis=1)
+        wval = jnp.concatenate([ins, cand.astype(jnp.uint32), newv],
+                               axis=1)
+    else:
+        widx = jnp.concatenate(
+            [midx, ind_off[None, :] + ind_key_prev], axis=1)  # (B, NM+NI)
+        wval = jnp.concatenate([ins, newv], axis=1)
     if PORT:
         n_aux = sh["aux_tbl"].shape[0]
         win_a = _claim_win(n_aux, widx, B)
@@ -2212,6 +2275,18 @@ def _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev, ind_prev_val):
     pb["match_len"] = jnp.where(
         ok, jnp.minimum(pb["match_len"] + 1, 65535),
         jnp.where(cand_pos > 0, 1, 0))
+    if MATCH2:
+        pred2 = pb["hist"][pb["mp2_blk"],
+                           jnp.clip(pb["mp2_pos"], 0, cfg.block_size - 1)
+                           ].astype(jnp.int32)
+        ok2 = (pb["match2_len"] > 0) & (pred2 == byte[:, None])
+        c2_blk = cand2 >> POS_BITS
+        c2_pos = cand2 & ((1 << POS_BITS) - 1)
+        pb["mp2_blk"] = jnp.where(ok2, pb["mp2_blk"], c2_blk)
+        pb["mp2_pos"] = jnp.where(ok2, pb["mp2_pos"] + 1, c2_pos)
+        pb["match2_len"] = jnp.where(
+            ok2, jnp.minimum(pb["match2_len"] + 1, 65535),
+            jnp.where(c2_pos > 0, 1, 0))
     return sh, pb
 
 
@@ -2239,7 +2314,7 @@ def make_byte_step(cfg: EngineConfig):
     def byte_step(sh, pb, cd, comp, inp_byte_b, t, mode):
         """One byte for every block. inp_byte_b: (B,) uint8; t scalar."""
         B = inp_byte_b.shape[0]
-        ind_base = N_MATCH * (1 << cfg.mbits)
+        ind_base = (1 + MATCH2) * N_MATCH * (1 << cfg.mbits)
         ind_off = ind_base + jnp.arange(
             N_IND, dtype=jnp.int32) * (1 << cfg.ibits)       # (NI,)
         ind_key_prev = ind_keys(pb["ctx"])                   # (B, NI)
@@ -2506,7 +2581,7 @@ def make_pretrainer(cfg: EngineConfig):
         # match entries point into the discarded pretrain history: zero
         # the match region of the aux arena (indirect-hash region stays)
         sh = dict(sh)
-        mlen = N_MATCH * (1 << pcfg.mbits)
+        mlen = (1 + MATCH2) * N_MATCH * (1 << pcfg.mbits)
         sh["aux_tbl"] = sh["aux_tbl"].at[:mlen].set(0)
         return sh
 

@@ -127,6 +127,42 @@ def make_remap_order(data: bytes):
     return [i for i, p in enumerate(pages) if not is_redirect(p)]
 
 
+_TITLE_RE = re.compile(rb"<title>([^<]*)</title>")
+_CAT_RE = re.compile(rb"\[\[[Cc]ategory:([^\]|]+)")
+
+
+def make_semantic_order(data: bytes):
+    """Semantic article ordering (the role of the reference's
+    new_article_order asset, article_reorder.h:92-164): cluster similar
+    articles adjacently so the compressor's context models see related
+    text consecutively.  The reference VENDORS a 172K-line ordering
+    computed offline (STARLIT); this environment has no enwik9 and no
+    network, so the framework ships the GENERATOR instead -- greedy
+    category-then-title clustering over the dump's own index, computed
+    once per dump and cacheable as an order file.  Entries index
+    non-redirect articles in document order (same numbering as `remap`).
+
+    Key per article: (first [[Category:...]] tag, title words reversed,
+    title) -- reversing the title groups "List of X", "History of X"
+    with their subject X's cluster.
+    """
+    _, pages, _ = split_pages(data)
+    arts = []
+    seq = 0
+    for p in pages:
+        if is_redirect(p):
+            continue
+        mt = _TITLE_RE.search(p)
+        title = mt.group(1).lower() if mt else b""
+        mc = _CAT_RE.search(p)
+        cat = mc.group(1).strip().lower() if mc else b"\xff"
+        words = title.split()
+        arts.append((cat, tuple(reversed(words)), title, seq))
+        seq += 1
+    arts.sort()
+    return [a[3] for a in arts]
+
+
 def _strip_numerics(page: bytes):
     """Remove id digits + timestamp strings; return (text, ids, stamps).
 
@@ -243,19 +279,26 @@ def decode(blob: bytes) -> bytes:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="enwik9-preproc")
-    ap.add_argument("mode", choices=["c", "d", "remap"])
+    ap.add_argument("mode", choices=["c", "d", "remap", "order"])
     ap.add_argument("input")
     ap.add_argument("output")
     ap.add_argument("--order", default=None,
-                    help="semantic article order file (one int per line)")
+                    help="semantic article order file (one int per "
+                    "line); 'auto' derives one from the dump itself "
+                    "(make_semantic_order)")
     args = ap.parse_args(argv)
     with open(args.input, "rb") as f:
         data = f.read()
     if args.mode == "c":
-        order = load_order(args.order) if args.order else None
+        if args.order == "auto":
+            order = make_semantic_order(data)
+        else:
+            order = load_order(args.order) if args.order else None
         out = encode(data, order)
     elif args.mode == "d":
         out = decode(data)
+    elif args.mode == "order":
+        out = b"".join(b"%d\n" % i for i in make_semantic_order(data))
     else:
         out = b"".join(b"%d\n" % i for i in make_remap_order(data))
     with open(args.output, "wb") as f:

@@ -66,6 +66,27 @@ def test_remap_skips_redirects():
     assert order == [0, 2, 3, 5]
 
 
+def test_semantic_order():
+    """The derived ordering clusters same-category articles adjacently
+    and round-trips through encode/decode (the role of the reference's
+    new_article_order asset, generated instead of vendored)."""
+    intro = b"<mediawiki>\n"
+    cats = [b"Birds", b"Physics", b"Birds", b"Physics", b"Birds"]
+    pages = []
+    for i, c in enumerate(cats):
+        pages.append(
+            b"  <page>\n    <title>Topic %d</title>\n    <id>%d</id>\n"
+            b"      <text xml:space=\"preserve\">Body [[Category:%s]]"
+            b"</text>\n  </page>\n" % (i, 10 + i, c))
+    data = intro + b"".join(pages) + b"</mediawiki>\n"
+    order = enwik9.make_semantic_order(data)
+    assert sorted(order) == list(range(5))
+    cat_seq = [cats[i] for i in order]
+    assert cat_seq == sorted(cat_seq)       # clustered by category
+    blob = enwik9.encode(data, order)
+    assert enwik9.decode(blob) == data
+
+
 def test_cli(tmp_path):
     data = _mini_wiki()
     src = tmp_path / "wiki.xml"
