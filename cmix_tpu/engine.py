@@ -232,7 +232,7 @@ def _derive(env):
     # with the current word prefix) -- the Porter2-stemmer capability
     # of fxcm/paq8 text models (fxcmv1.cpp:2662-3209, paq8.cpp:1530-2998)
     STEMX = gi("STEMX")
-    N_BANK = (47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 4 * JPEGX
+    N_BANK = (47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 6 * JPEGX
               + 2 * STEMX)
     #          25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
     #          + 2 line-grid + N_IND double-indirect
@@ -864,7 +864,7 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
         vals.append(rec_vals[:, 5])
     if JPEGX:
         j0 = 4 + 2 * GRID2
-        for jj in range(4):
+        for jj in range(6):
             vals.append(rec_vals[:, j0 + jj])
     if STEMX:
         vals.append(mix32(cs["last_stem"], jnp.uint32(0x85EBCA77)))
@@ -950,6 +950,24 @@ def _record_ctx_vals(cfg, pb, t):
         vals.append(mix32(ck, jnp.uint32(0x2545F491)))       # plane
         vals.append(mix32(lfj | (lfj2 << U8),
                           ck + jnp.uint32(0x9E3779B9)))      # W,WW
+        # SAME-BLOCK previous zigzag coefficients: in the plane-major
+        # layout the byte one plane back (t - plane_len) is this very
+        # block's k-1 coefficient -- the reference jpegModel's primary
+        # context family (prior coefficients of the current block,
+        # paq8.cpp:5871-6589)
+        pk1 = pb["hist"][bar, jnp.mod(t - clc, n)].astype(jnp.uint32)
+        pk2 = pb["hist"][bar, jnp.mod(t - 2 * clc, n)].astype(jnp.uint32)
+        kq = ck & jnp.uint32(63)
+        v_k1 = (kq >= 1) & valid
+        v_k2 = (kq >= 2) & valid
+        pk1 = jnp.where(v_k1, pk1, jnp.uint32(0x1FF))
+        pk2 = jnp.where(v_k2, pk2, jnp.uint32(0x1FF))
+        vals.append(mix32(pk1 | (pk2 << jnp.uint32(9)),
+                          ck + jnp.uint32(0xC2B2AE3D)))      # k-1,k-2 val
+        vals.append(mix32(_magq(pk1 & jnp.uint32(0xFF))
+                          | (_magq(pk2 & jnp.uint32(0xFF)) << jnp.uint32(4))
+                          | (_magq(above) << U8),
+                          ck + jnp.uint32(0x27D4EB2F)))      # mag field
     return jnp.stack(vals, axis=1), rl, posr
 
 
@@ -2472,7 +2490,10 @@ def make_transcoder(cfg: EngineConfig):
     per-block state.
     """
     seg_jit = jax.jit(make_segment_fn(cfg), donate_argnums=(0, 1, 2))
-    comp_jit = jax.jit(make_seg_compactor(cfg), donate_argnums=(0, 1))
+    # no donation for the compactor: its outputs (uint8 seg_cap bytes)
+    # can never reuse the uint32 emission buffers, so donating only
+    # produced "donated buffers were not usable" warnings
+    comp_jit = jax.jit(make_seg_compactor(cfg))
 
     def transcode(sh, pb, inp, comp, mode, meter=None, progress=None):
         """mode: scalar or per-lane (B,) vector -- a decode group mirrors

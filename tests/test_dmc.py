@@ -62,3 +62,27 @@ def test_distinct_streams_distinct_state():
     assert p[0, 127] != p[1, 127] or p[0, 255 // 2] != p[1, 255 // 2] or \
         abs(p[0, 1] - p[1, 1]) < 0.2  # both learned high-bit=0 equally
     assert p[0, 1] < 0.2 and p[1, 1] < 0.2
+
+
+def test_pallas_walk_matches_xla():
+    """The Pallas count-word walk (TPU path) is bit-identical to the
+    XLA gather walk -- pure integer data movement, so enabling the
+    kernel cannot change the format (models/dmc.py _counts_pallas)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cmix_tpu.models import dmc
+
+    B, N = 4, dmc.N_BASE + 64
+    pb = dmc.init_dmc_perblock(N)
+    pb = {k: jnp.tile(v[None], (B,) + (1,) * v.ndim) for k, v in pb.items()}
+    # advance the machines with a few distinct byte streams so the
+    # walk traverses cloned/grown regions too
+    rng = np.random.RandomState(3)
+    for t in range(200):
+        pb.update(dmc.byte_update(
+            {k: pb[k] for k in dmc.DMC_KEYS},
+            jnp.asarray(rng.randint(0, 256, size=B))))
+    ref = dmc._counts_xla(pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"])
+    ker = dmc._counts_pallas(pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"],
+                             interpret=True)
+    assert np.array_equal(np.asarray(ref), np.asarray(ker))

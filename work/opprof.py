@@ -36,6 +36,8 @@ def main():
         lambda x: jnp.tile(x[None], (b,) + (1,) * x.ndim), init_coder(cfg))
     comp = jnp.zeros((b, cfg.comp_size), dtype=jnp.uint8)
     byte_b = jnp.zeros((b,), jnp.uint8)
+    import shutil
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
     jitted = jax.jit(one, donate_argnums=(0, 1, 2))
     out = jitted(sh, pb, cd, comp, byte_b)
     jax.block_until_ready(out)
@@ -45,7 +47,8 @@ def main():
             sh, pb, cd, ys = jitted(sh, pb, cd, comp, byte_b)
         jax.block_until_ready(ys)
 
-    xs = glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True)
+    xs = sorted(glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True))
+    xs = xs[-1:]
     print("xplanes:", xs, file=sys.stderr)
     from xprof.convert import raw_to_tool_data
     data, _ = raw_to_tool_data.xspace_to_tool_data(xs, "hlo_stats", {})

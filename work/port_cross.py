@@ -32,7 +32,7 @@ def main():
     if MODE == "enc":
         engine.update_gates({"PORT": 1})
         cfg = EngineConfig(block_size=1 << 14, tbits=20, lstm_hidden=0,
-                           dmc_nodes=0, seg_size=2048)
+                           dmc_nodes=16384, seg_size=2048)  # DMC: integer in PORT (r3)
         print("devices:", jax.devices(), flush=True)
         t0 = time.time()
         arch = compress(data, cfg, max_batch=8)
