@@ -123,44 +123,63 @@ def _p12_of_units(c0u, c1u):
 # ordered -- pure integer data movement, so the kernel is bit-identical
 # to the XLA path and needs no format gate (CPU tests take the XLA
 # path; archives agree).
-_DMC_PALLAS = os.environ.get("DMC_PALLAS", "1") != "0"
+_DMC_PALLAS = os.environ.get("DMC_PALLAS", "0") != "0"
+# default off until the on-chip microbench (work/pallas_bench.py)
+# proves the Mosaic lowering + a win; bit-identical either way
 
 
 def _counts_walk_kernel(cur_ref, nxt_ref, cnt_ref, out_ref):
+    # tables are staged as (1, N/128, 128) VMEM blocks (TPU block-shape
+    # rule: last two dims (8,128)-aligned); node i lives at [i>>7, i&127]
     idx = [None] * 256
-    zero = jnp.int32(0)
-    idx[0] = zero
-    idx[1] = cur_ref[0, 0]
+    idx[0] = jnp.int32(0)
+    idx[1] = cur_ref[pl_program_id(0), 0]
     levels = min(DMC_LEVELS, 8)
     for n in range(1, 1 << (levels - 1)):
-        w = nxt_ref[0, idx[n]]
+        i = idx[n]
+        w = nxt_ref[0, i >> 7, i & 127]
         idx[2 * n] = (w & jnp.uint32(0xFFFF)).astype(jnp.int32)
         idx[2 * n + 1] = (w >> jnp.uint32(16)).astype(jnp.int32)
     top = 1 << levels
     for j in range(256):
-        out_ref[0, j] = cnt_ref[0, idx[j]] if j < top else jnp.uint32(0)
+        i = idx[j]
+        out_ref[0, j >> 7, j & 127] = \
+            cnt_ref[0, i >> 7, i & 127] if j < top else jnp.uint32(0)
+
+
+def pl_program_id(axis):
+    from jax.experimental import pallas as pl
+    return pl.program_id(axis)
 
 
 def _counts_pallas(nxt, cnt, cur, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     B, N = nxt.shape
-    return pl.pallas_call(
+    if N % 128:                      # pad to the VMEM lane width; node
+        pad = 128 - N % 128          # ids never point into the padding
+        nxt = jnp.pad(nxt, ((0, 0), (0, pad)))
+        cnt = jnp.pad(cnt, ((0, 0), (0, pad)))
+        N += pad
+    n3 = (N // 128, 128)
+    out = pl.pallas_call(
         _counts_walk_kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((B, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda i: (i, 0),
+            pl.BlockSpec((1,) + n3, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i: (i, 0),
+            pl.BlockSpec((1,) + n3, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 256), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 256), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((B, 2, 128), jnp.uint32),
         interpret=interpret,
-    )(cur.astype(jnp.int32)[:, None], nxt, cnt)
+    )(cur.astype(jnp.int32)[:, None], nxt.reshape((B,) + n3),
+      cnt.reshape((B,) + n3))
+    return out.reshape(B, 256)
 
 
 def _counts_xla(nxt, cnt, cur):

@@ -28,7 +28,7 @@ def main():
                       jnp.asarray(rng.randint(0, 256, size=B))))
 
     f_x = jax.jit(dmc._counts_xla)
-    f_p = jax.jit(lambda n, c, u: dmc._counts_pallas(n, c, u))
+    f_p = jax.jit(lambda n, c, u: dmc._counts_pallas(n, c, u))  # forced on
     a = f_x(pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"])
     b = f_p(pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"])
     ok = np.array_equal(np.asarray(a), np.asarray(b))
