@@ -99,6 +99,7 @@ _GATE_SPEC = (
     ("GRID2", int, "0"),
     ("JPEGX", int, "0"),
     ("STEMX", int, "0"),
+    ("CTX2", int, "0"),
     ("BANK_CH", int, "1"),
     ("MIX_DYN2", int, "1"),
     ("MIX_KIND", int, "0"),
@@ -202,7 +203,7 @@ def _derive(env):
     gate name -> raw string; missing names take their defaults).  Called
     once at import with os.environ, and again by apply_gates when a
     decoded archive pins different gates."""
-    global N_IND, WIKI, X86X, GRID2, JPEGX, STEMX, N_BANK
+    global N_IND, WIKI, X86X, GRID2, JPEGX, STEMX, CTX2, N_BANK
     global MATCH_ORDERS, N_MATCH, MATCH2
     global PPM_ORDERS, N_PPM, PPM_EXCL, PPM_UPD, BANK_CK, MIX_DYN3
     global MIX_DYN4
@@ -232,8 +233,15 @@ def _derive(env):
     # with the current word prefix) -- the Porter2-stemmer capability
     # of fxcm/paq8 text models (fxcmv1.cpp:2662-3209, paq8.cpp:1530-2998)
     STEMX = gi("STEMX")
+    # CTX2: 8 further text/structure contexts toward the reference's
+    # layer-0 width (paq8 TextModel's 33 contexts, paq8.cpp:3070-3185;
+    # fxcm sentence/word streams, fxcmv1.cpp:2157-2453): word trigram,
+    # word x last byte, word x sentence position, word-tail suffix x
+    # length, xml tag x byte, every-other-byte sparse, stem x byte,
+    # class-register x column
+    CTX2 = gi("CTX2")
     N_BANK = (47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 6 * JPEGX
-              + 2 * STEMX)
+              + 2 * STEMX + 8 * CTX2)
     #          25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
     #          + 2 line-grid + N_IND double-indirect
     MATCH_ORDERS = tuple(
@@ -869,6 +877,23 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
     if STEMX:
         vals.append(mix32(cs["last_stem"], jnp.uint32(0x85EBCA77)))
         vals.append(mix32(cs["last_stem"], cs["word"] + jnp.uint32(0x1D)))
+    if CTX2:
+        b5 = (l4 >> jnp.uint32(24)) & jnp.uint32(0xFF)
+        vals.append(mix32(mix32(cs["last_word2"], cs["last_word"]),
+                          cs["word"] + jnp.uint32(0x6A09)))  # word trigram
+        vals.append(mix32(cs["word"], b1 + jnp.uint32(0xBB67)))
+        vals.append(mix32(cs["word"],
+                          jnp.minimum(cs["sentpos"] >> jnp.uint32(3),
+                                      jnp.uint32(31)) + jnp.uint32(0x3C6E)))
+        vals.append(mix32(cs["wtail"], jnp.minimum(
+            cs["wordlen"], jnp.uint32(15)) + jnp.uint32(0xA54F)))  # suffix
+        vals.append(mix32(cs["tag"], b1 + jnp.uint32(0x510E)))
+        vals.append(mix32(b1 | (b3 << U8) | (b5 << jnp.uint32(16)),
+                          jnp.uint32(0x9B05688C)))           # skip-1 sparse
+        vals.append(mix32(cs["last_stem"], b1 + jnp.uint32(0x1F83)))
+        vals.append(mix32(cs["clsreg"] & jnp.uint32(0xFFF),
+                          jnp.minimum(cs["linepos"], jnp.uint32(63))
+                          + jnp.uint32(0x5BE0)))
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24], above_l, v_alive
