@@ -97,7 +97,9 @@ _GATE_SPEC = (
     ("VMATCH", int, "0"),
     ("LMS", int, "0"),
     ("GRID2", int, "0"),
-    ("JPEGX", int, "0"),
+    ("JPEGX", int, "1"),   # measured strictly better on JPEG twice
+    #                        (r2 0.9554->0.9441, r3 0.9546->0.9397) and
+    #                        inert outside recoded-JPEG segments
     ("STEMX", int, "0"),
     ("CTX2", int, "0"),
     ("BANK_CH", int, "1"),
