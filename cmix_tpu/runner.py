@@ -517,8 +517,10 @@ def main(argv=None):
     ap.add_argument("--portable", action="store_true",
                     help="portable profile: integer model math, archives "
                     "decode bit-exactly on any platform/executable "
-                    "(the LSTM is excluded; some ratio is traded for "
-                    "portability, like the reference's -O3 vs -Ofast)")
+                    "(proven TPU-encode -> CPU-decode).  The LSTM is "
+                    "excluded; measured cost ~+2.8%% bpb on text "
+                    "(0.743 vs 0.723, work/RESULTS.md r3) -- the "
+                    "reference's -O3 vs -Ofast tradeoff (README:16)")
     args = ap.parse_args(argv)
     if args.dictionary == "auto":
         args.dictionary = os.path.join(
