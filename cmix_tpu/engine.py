@@ -116,6 +116,7 @@ _GATE_SPEC = (
     ("APM2X", int, "1"),
     ("APM_FIXED", int, "0"),
     ("APM3X", int, "0"),
+    ("SSE2", int, "0"),
     ("CNT_CAP", int, "60"),
     ("DMC_LEVELS", int, "8"),
     ("PORT", int, "0"),
@@ -213,7 +214,7 @@ def _derive(env):
     global VMATCH, LMS, BANK_CH, DMC_IDX, N_INPUTS
     global MIX_DYN2, MIX_KIND, _MIX1_ROWS, N_MIX1, _MIX1_OFF, _MIX1_TOTAL
     global MIX_AUX, M2IN, MIX_LR, MIX_TAU, MIX_BOOST, MIX_BOOST_N
-    global W_APM_LEARN, MIX_NORM, STAT_NORM, APM2X, APM3X, N_APM
+    global W_APM_LEARN, MIX_NORM, STAT_NORM, APM2X, APM3X, SSE2, N_APM
     global APM_ROWS
     global APM_FIXED, CNT_CAP, _SBANK_NEXT, _SBANK_P0, GATES, PORT
 
@@ -416,8 +417,15 @@ def _derive(env):
     # BIT-HISTORY state at the root node -- the capability class of
     # Shelwien's bit-history SSE contexts (src/mixer/sse.cpp:210-305)
     APM3X = gi("APM3X")
+    # SSE2: a SERIAL second SSE stage (the 2-stage structure of
+    # Shelwien's sse.cpp:210-305): the blended prediction runs through
+    # one more interpolated table gated by the root bit-history state,
+    # and a learned per-gate 2-weight internal mixer combines the
+    # stage's output with its input -- refinement on top of the
+    # parallel APM chain instead of beside it.
+    SSE2 = gi("SSE2")
     N_APM = 3 + 2 * APM2X + APM3X
-    APM_ROWS = 576 + 512 * APM2X + 256 * APM3X
+    APM_ROWS = 576 + 512 * APM2X + 256 * APM3X + 256 * SSE2
     # 1 replaces the learned blend with the fixed probability-domain
     # combiner st_fin = 0.4*st(p_mix) + 0.6*st(mean(pa1..3)) (diagnostic)
     APM_FIXED = gi("APM_FIXED")
@@ -624,6 +632,10 @@ def init_shared(cfg: EngineConfig):
         "w_apm": jnp.tile(jnp.concatenate([
             jnp.asarray([0.4], jnp.float32),
             jnp.full(N_APM, 0.6 / N_APM, jnp.float32)])[None], (64, 1)),
+        # SSE2 serial stage: per-gate 2-weight internal mixer
+        # (input stretch, stage-output stretch); starts as identity
+        **({"w_sse": jnp.tile(jnp.asarray([[1.0, 0.0]], jnp.float32),
+                              (256, 1))} if SSE2 else {}),
         # vocabulary forcing per tree node: 0 none, 1 force-0, 2 force-1
         # (cf. the reference's vocab bitmap, src/runner.cpp:44-51)
         "vocab_force": jnp.zeros(256, dtype=jnp.int32),
@@ -657,6 +669,9 @@ def init_shared(cfg: EngineConfig):
                 jnp.full(N_APM, (65536 * 6 // 10) // N_APM,
                          jnp.int32)])[None], (64, 1)),
         })
+        if SSE2:
+            sh["w_sse"] = jnp.tile(
+                jnp.asarray([[65536, 0]], jnp.int32), (256, 1))
         del sh["vmatch_conf"], sh["lms_conf"], sh["w1_cnt"]
     if MATCH2:
         sh["match2_conf"] = (
@@ -1625,6 +1640,29 @@ def _predict_tree_b(cfg, sh, pb, t):
             st_fin = (jnp.einsum("bj,bjk->bk", wa_hi, st_in) >> 8) \
                 + (jnp.einsum("bj,bjk->bk", wa_lo, st_in) >> 16)
         st_fin = jnp.clip(st_fin, -3071, 3071)
+        sse2_g = sse2_stf = sse2_stp = None
+        if SSE2:
+            base2 = 576 + 512 * APM2X + 256 * APM3X
+            sbix = SBANK_COLS.index(1) if 1 in SBANK_COLS else 0
+            sse2_g = (srows[:, sbix, 1] & jnp.uint32(0xFF)
+                      ).astype(jnp.int32)                    # (B,)
+            rows2 = sh["apm"][base2 + sse2_g]                # (B, 33)
+            pa_f, tl_f, fr_f = apm_int(rows2, st_fin)
+            sse2_stp = stretch13_from_p12(pa_f) - 4096
+            ws = sh["w_sse"][sse2_g]                         # (B, 2) i32
+            ws_hi, ws_lo = ws >> 8, ws & 255
+
+            def _wmul(j, st):
+                return ((ws_hi[:, j:j + 1] * st) >> 8) \
+                    + ((ws_lo[:, j:j + 1] * st) >> 16)
+            sse2_stf = st_fin
+            st_fin = jnp.clip(_wmul(0, st_fin) + _wmul(1, sse2_stp),
+                              -3071, 3071)
+            apm_idx = jnp.concatenate(
+                [apm_idx, (base2 + sse2_g)[:, None]], axis=1)
+            apm_rows = jnp.concatenate([apm_rows, rows2[:, None]], axis=1)
+            tls.append(tl_f)
+            frs.append(fr_f)
         p_tree = squash16(st_fin + 4096)                     # p16 int32
         p_tree12 = squash12(st_fin + 4096)
     else:
@@ -1637,6 +1675,23 @@ def _predict_tree_b(cfg, sh, pb, t):
         else:
             wa = sh["w_apm"][longest]                        # (B, 4)
             st_fin = jnp.einsum("bj,bjk->bk", wa, st_in)
+        sse2_g = sse2_stf = sse2_stp = None
+        if SSE2:
+            base2 = 576 + 512 * APM2X + 256 * APM3X
+            sbix = SBANK_COLS.index(1) if 1 in SBANK_COLS else 0
+            sse2_g = (srows[:, sbix, 1] & jnp.uint32(0xFF)
+                      ).astype(jnp.int32)                    # (B,)
+            rows2 = sh["apm"][base2 + sse2_g]                # (B, 33)
+            pa_f, tl_f, fr_f = apm(rows2, _squash_f(st_fin))
+            sse2_stf = jnp.clip(st_fin, -ST_CLAMP, ST_CLAMP)
+            sse2_stp = _stretch_f(jnp.clip(pa_f, 1e-6, 1 - 1e-6))
+            ws = sh["w_sse"][sse2_g]                         # (B, 2)
+            st_fin = ws[:, 0:1] * sse2_stf + ws[:, 1:2] * sse2_stp
+            apm_idx = jnp.concatenate(
+                [apm_idx, (base2 + sse2_g)[:, None]], axis=1)
+            apm_rows = jnp.concatenate([apm_rows, rows2[:, None]], axis=1)
+            tls.append(tl_f)
+            frs.append(fr_f)
         p_tree = _squash_f(st_fin)                           # (B, 256)
         p_tree12 = None
 
@@ -1655,6 +1710,7 @@ def _predict_tree_b(cfg, sh, pb, t):
                vlml=vlml, vconf=vconf, vexp=vexp_i, valive=v_alive,
                lms_xs=xs_f, lms_pred=predf, lms_pbyte=pbyte,
                lms_errb=errb, lms_conf=lconf,
+               sse2_g=sse2_g, sse2_stf=sse2_stf, sse2_stp=sse2_stp,
                lms_med=(lms_med if LMS == 2 else None))
     return p_tree, aux
 
@@ -2136,6 +2192,17 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         sh["w_apm"] = jnp.clip(
             sh["w_apm"] + lr * acc / jnp.maximum(cnt[:, None], 1.0),
             -4.0, 4.0)
+    if SSE2:
+        # serial-stage internal mixer (per-gate mean, like w_apm)
+        err_s = (target - aux["p_tree"]) * on_path           # (B, 256)
+        ds = jnp.stack(
+            [jnp.einsum("bk,bk->b", err_s, aux["sse2_stf"]),
+             jnp.einsum("bk,bk->b", err_s, aux["sse2_stp"])], axis=1)
+        cnt_s = jnp.zeros(256, jnp.float32).at[aux["sse2_g"]].add(1.0)
+        acc_s = jnp.zeros((256, 2), jnp.float32).at[aux["sse2_g"]].add(ds)
+        sh["w_sse"] = jnp.clip(
+            sh["w_sse"] + lr * acc_s / jnp.maximum(cnt_s[:, None], 1.0),
+            -4.0, 4.0)
     return sh
 
 
@@ -2251,6 +2318,18 @@ def _update_mixers_int(cfg, sh, aux, target_i, on_path, n8, t8, B):
                         jnp.int32).at[aux["longest"]].add(dwa)
         sh["w_apm"] = jnp.clip(
             sh["w_apm"] + ((lr12 * (acc // jnp.maximum(cnt[:, None], 1)))
+                           >> 8),
+            -262144, 262144)
+    if SSE2:
+        err_s = (target_i * 4096 - aux["p_tree12"]) * onp_i  # (B, 256)
+        ds = jnp.stack(
+            [jnp.einsum("bk,bk->b", err_s, aux["sse2_stf"]) >> 8,
+             jnp.einsum("bk,bk->b", err_s, aux["sse2_stp"]) >> 8], axis=1)
+        cnt_s = jnp.zeros(256, jnp.int32).at[aux["sse2_g"]].add(1)
+        acc_s = jnp.zeros((256, 2), jnp.int32).at[aux["sse2_g"]].add(ds)
+        sh["w_sse"] = jnp.clip(
+            sh["w_sse"] + ((lr12 * (acc_s
+                                    // jnp.maximum(cnt_s[:, None], 1)))
                            >> 8),
             -262144, 262144)
     return sh

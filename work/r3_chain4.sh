@@ -9,5 +9,6 @@ p3() {
     env $2 timeout 2000 $PY work/probe3.py >> $LOG 2>&1
 }
 p3 R4-ctx2 "CTX2=1"
+p3 R4-sse2 "SSE2=1"
 p3 R4-ctx2-bankch2 "CTX2=1 BANK_CH=2"
 echo "R3 CHAIN4 DONE" >> $LOG

@@ -66,7 +66,11 @@ def main():
     from cmix_tpu.runner import compress, decompress
 
     data = build_corpus(MB << 20)
-    cfg = EngineConfig(block_size=BLK, tbits=TBITS, seg_size=2048)
+    cfg = EngineConfig(block_size=BLK, tbits=TBITS,
+                      mbits=int(os.environ.get("MBITS", 20)),
+                      ibits=int(os.environ.get("IBITS", 16)),
+                      pbits=int(os.environ.get("PBITS", 20)),
+                      seg_size=2048)
     dic = os.environ.get("DICT")
     if dic == "auto":
         dic = "/root/repo/cmix_tpu/data/english.dic"
