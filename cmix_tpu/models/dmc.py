@@ -123,28 +123,50 @@ def _p12_of_units(c0u, c1u):
 # ordered -- pure integer data movement, so the kernel is bit-identical
 # to the XLA path and needs no format gate (CPU tests take the XLA
 # path; archives agree).
-_DMC_PALLAS = os.environ.get("DMC_PALLAS", "0") != "0"
-# default off until the on-chip microbench (work/pallas_bench.py)
-# proves the Mosaic lowering + a win; bit-identical either way
+_DMC_PALLAS = os.environ.get("DMC_PALLAS", "1") != "0"
+# on-chip microbench (work/pallas_bench.py): walk 1.50 ms (XLA) ->
+# 1.13 ms (kernel) at B=256; bit-identical either way
 
 
-def _counts_walk_kernel(cur_ref, nxt_ref, cnt_ref, out_ref):
-    # tables are staged as (1, N/128, 128) VMEM blocks (TPU block-shape
-    # rule: last two dims (8,128)-aligned); node i lives at [i>>7, i&127]
-    idx = [None] * 256
-    idx[0] = jnp.int32(0)
-    idx[1] = cur_ref[pl_program_id(0), 0]
-    levels = min(DMC_LEVELS, 8)
-    for n in range(1, 1 << (levels - 1)):
-        i = idx[n]
-        w = nxt_ref[0, i >> 7, i & 127]
-        idx[2 * n] = (w & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        idx[2 * n + 1] = (w >> jnp.uint32(16)).astype(jnp.int32)
-    top = 1 << levels
-    for j in range(256):
-        i = idx[j]
-        out_ref[0, j >> 7, j & 127] = \
-            cnt_ref[0, i >> 7, i & 127] if j < top else jnp.uint32(0)
+def _make_walk_kernel(group):
+    def kernel(cur_ref, nxt_ref, cnt_ref, out_ref):
+        # Tables are staged as (group, N/1024, 8, 128) VMEM blocks;
+        # node i lives in tile i>>10 at (sublane (i>>7)&7, lane i&127).
+        # Mosaic has no dynamic lane addressing, so each fetch loads
+        # the node's whole aligned tile (a VMEM vector load at a
+        # dynamic tile index) and extracts the word with a one-hot
+        # reduction -- vector ops only.  `group` blocks walk per grid
+        # step so their independent pointer chains interleave.
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        levels = min(DMC_LEVELS, 8)
+        top = 1 << levels
+        pid = pl_program_id(0)
+
+        def fetch(ref, g, i):
+            tile = ref[g, i >> 10].astype(jnp.int32)         # (8, 128)
+            oh = ((sub8 == ((i >> 7) & 7)) & (lane == (i & 127)))
+            return jnp.sum(jnp.where(oh, tile, 0)).astype(jnp.uint32)
+
+        idxs = []
+        for g in range(group):
+            idx = [None] * 256
+            idx[0] = jnp.int32(0)
+            idx[1] = cur_ref[pid * group + g, 0]
+            idxs.append(idx)
+        for n in range(1, 1 << (levels - 1)):
+            for g in range(group):                # interleave chains
+                w = fetch(nxt_ref, g, idxs[g][n])
+                idxs[g][2 * n] = (w & jnp.uint32(0xFFFF)
+                                  ).astype(jnp.int32)
+                idxs[g][2 * n + 1] = (w >> jnp.uint32(16)
+                                      ).astype(jnp.int32)
+        for j in range(256):
+            for g in range(group):
+                out_ref[g, j >> 7, j & 127] = \
+                    fetch(cnt_ref, g, idxs[g][j]) if j < top \
+                    else jnp.uint32(0)
+    return kernel
 
 
 def pl_program_id(axis):
@@ -152,29 +174,34 @@ def pl_program_id(axis):
     return pl.program_id(axis)
 
 
-def _counts_pallas(nxt, cnt, cur, interpret=False):
+def _counts_pallas(nxt, cnt, cur, interpret=False, group=1):
+    # group>1 measured 100x SLOWER (dynamic tile indexing inside a
+    # multi-block VMEM window degenerates); one block per grid step wins
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     B, N = nxt.shape
-    if N % 128:                      # pad to the VMEM lane width; node
-        pad = 128 - N % 128          # ids never point into the padding
+    if N % 1024:                     # pad to a whole (8,128) tile; node
+        pad = 1024 - N % 1024        # ids never point into the padding
         nxt = jnp.pad(nxt, ((0, 0), (0, pad)))
         cnt = jnp.pad(cnt, ((0, 0), (0, pad)))
         N += pad
-    n3 = (N // 128, 128)
+    while B % group:
+        group //= 2
+    n3 = (N // 1024, 8, 128)
+    g = group
     out = pl.pallas_call(
-        _counts_walk_kernel,
-        grid=(B,),
+        _make_walk_kernel(g),
+        grid=(B // g,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,) + n3, lambda i: (i, 0, 0),
+            pl.BlockSpec((g,) + n3, lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + n3, lambda i: (i, 0, 0),
+            pl.BlockSpec((g,) + n3, lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((g, 2, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2, 128), jnp.uint32),
         interpret=interpret,
     )(cur.astype(jnp.int32)[:, None], nxt.reshape((B,) + n3),

@@ -28,12 +28,14 @@ def main():
                       jnp.asarray(rng.randint(0, 256, size=B))))
 
     f_x = jax.jit(dmc._counts_xla)
-    f_p = jax.jit(lambda n, c, u: dmc._counts_pallas(n, c, u))  # forced on
+    f_p = jax.jit(lambda n, c, u: dmc._counts_pallas(n, c, u, group=1))
+    f_p4 = jax.jit(lambda n, c, u: dmc._counts_pallas(n, c, u, group=4))
+    f_p8 = jax.jit(lambda n, c, u: dmc._counts_pallas(n, c, u, group=8))
     a = f_x(pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"])
     b = f_p(pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"])
     ok = np.array_equal(np.asarray(a), np.asarray(b))
     print("bit-identical on chip:", ok, flush=True)
-    for name, f in (("xla", f_x), ("pallas", f_p)):
+    for name, f in (("xla", f_x), ("pallas-g1", f_p), ("pallas-g4", f_p4), ("pallas-g8", f_p8)):
         t0 = time.time()
         for _ in range(50):
             r = f(pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"])
