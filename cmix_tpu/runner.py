@@ -213,6 +213,27 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         base = _pretrained_base(cfg, dict_bytes)
         flags |= _FLAG_PRETRAIN
 
+    # JPEGX routing: the coefficient contexts only carry information
+    # inside recoded-JPEG segments, and measurably dilute the mixers
+    # elsewhere (~0.2% on exe/dict probes) -- so enable them exactly
+    # when the archive contains such segments.  The choice is recorded
+    # in the archive's gate record, so decode follows automatically.
+    want_jpegx = 1 if (seg_meta is not None and any(
+        e[0] == _SEG_JPEGC for e in seg_meta)) else 0
+    prev_gates = engine.gates_blob()
+    if engine.update_gates({"JPEGX": want_jpegx}):
+        _TRANSCODER_CACHE.clear()
+    try:
+        return _compress_body(data, payload, seg_meta, cfg, max_batch,
+                              d, fp, base, flags, meter, show_progress,
+                              resume_path)
+    finally:
+        if engine.apply_gates(prev_gates):
+            _TRANSCODER_CACHE.clear()
+
+
+def _compress_body(data, payload, seg_meta, cfg, max_batch, d, fp, base,
+                   flags, meter, show_progress, resume_path):
     n = cfg.block_size
     blocks = _split_blocks(payload, n)
     nb = blocks.shape[0]
