@@ -84,8 +84,9 @@ _GATE_SPEC = (
     ("CMIX_N_IND", int, "4"),
     ("WIKI", int, "1"),
     ("X86X", int, "0"),
-    ("CMIX_MATCH_ORDERS", str, "1,2,3,5,8,12,16,24"),
-    ("MATCH2", int, "0"),
+    # orders 100/101 are word-keyed matches (r3 probe: text -0.2%)
+    ("CMIX_MATCH_ORDERS", str, "1,2,3,5,8,12,16,24,100,101"),
+    ("MATCH2", int, "1"),  # r3 probe: best exe/dict; capacity at scale
     ("CMIX_PPM_ORDERS", str, "1,2,3,4,5,6,8,10,12,16,20,24"),
     ("PPM_EXCL", int, "1"),
     ("PPM_UPD", int, "1"),
@@ -100,8 +101,9 @@ _GATE_SPEC = (
     ("JPEGX", int, "1"),   # measured strictly better on JPEG twice
     #                        (r2 0.9554->0.9441, r3 0.9546->0.9397) and
     #                        inert outside recoded-JPEG segments
-    ("STEMX", int, "0"),
-    ("CTX2", int, "0"),
+    ("STEMX", int, "1"),   # r3 probe: small text win, principled for
+    #                        English (fxcm stemmer class)
+    ("CTX2", int, "1"),    # r3 probe: text -0.15%
     ("BANK_CH", int, "1"),
     ("MIX_DYN2", int, "1"),
     ("MIX_KIND", int, "0"),

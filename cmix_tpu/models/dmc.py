@@ -123,9 +123,12 @@ def _p12_of_units(c0u, c1u):
 # ordered -- pure integer data movement, so the kernel is bit-identical
 # to the XLA path and needs no format gate (CPU tests take the XLA
 # path; archives agree).
-_DMC_PALLAS = os.environ.get("DMC_PALLAS", "1") != "0"
+_DMC_PALLAS = os.environ.get("DMC_PALLAS", "0") != "0"
 # on-chip microbench (work/pallas_bench.py): walk 1.50 ms (XLA) ->
-# 1.13 ms (kernel) at B=256; bit-identical either way
+# 1.13 ms (kernel) at B=256; bit-identical either way.  OPT-IN for
+# now: with the kernel in the full scan, the SECOND transcode of a
+# process hits "TPU backend error (Internal)" on this runtime
+# (repro: work/r3_adopt.log); stability wins until that is diagnosed
 
 
 def _make_walk_kernel(group):

@@ -210,7 +210,6 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     else:
         flags |= _FLAG_WRT
     if d is not None:
-        base = _pretrained_base(cfg, dict_bytes)
         flags |= _FLAG_PRETRAIN
 
     # JPEGX routing: the coefficient contexts only carry information
@@ -224,6 +223,10 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     if engine.update_gates({"JPEGX": want_jpegx}):
         _TRANSCODER_CACHE.clear()
     try:
+        if d is not None:
+            # AFTER the gate routing: the pretrained state's shapes
+            # must match the routed ensemble
+            base = _pretrained_base(cfg, dict_bytes)
         return _compress_body(data, payload, seg_meta, cfg, max_batch,
                               d, fp, base, flags, meter, show_progress,
                               resume_path)
