@@ -212,15 +212,23 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     if d is not None:
         flags |= _FLAG_PRETRAIN
 
-    # JPEGX routing: the coefficient contexts only carry information
-    # inside recoded-JPEG segments, and measurably dilute the mixers
-    # elsewhere (~0.2% on exe/dict probes) -- so enable them exactly
-    # when the archive contains such segments.  The choice is recorded
-    # in the archive's gate record, so decode follows automatically.
+    # Content-routed gates (recorded in the archive's gate record, so
+    # decode follows automatically):
+    # - JPEGX: the coefficient contexts only carry information inside
+    #   recoded-JPEG segments, and measurably dilute the mixers
+    #   elsewhere (~0.2% on exe/dict probes) -- on exactly when such
+    #   segments exist.
+    # - GRID2: the 2D pixel-neighborhood contexts helped every media
+    #   probe (photo/terrain 0.3688->0.3681, JPEG 0.9311->0.9291) and
+    #   address by a record stride that plain text does not have -- on
+    #   when any strided media/JPEG segment exists.
+    from cmix_tpu.preprocess.wrt import _STRIDE_SEGS
     want_jpegx = 1 if (seg_meta is not None and any(
         e[0] == _SEG_JPEGC for e in seg_meta)) else 0
+    want_grid2 = 1 if (seg_meta is not None and any(
+        e[0] in _STRIDE_SEGS for e in seg_meta)) else 0
     prev_gates = engine.gates_blob()
-    if engine.update_gates({"JPEGX": want_jpegx}):
+    if engine.update_gates({"JPEGX": want_jpegx, "GRID2": want_grid2}):
         _TRANSCODER_CACHE.clear()
     try:
         if d is not None:
