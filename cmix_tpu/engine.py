@@ -105,6 +105,7 @@ _GATE_SPEC = (
     #                        English (fxcm stemmer class)
     ("CTX2", int, "1"),    # r3 probe: text -0.15%
     ("BANK_CH", int, "1"),
+    ("RUNX", int, "0"),
     ("MIX_DYN2", int, "1"),
     ("MIX_KIND", int, "0"),
     ("MIX_AUX", int, "0"),
@@ -213,7 +214,7 @@ def _derive(env):
     global PPM_ORDERS, N_PPM, PPM_EXCL, PPM_UPD, BANK_CK, MIX_DYN3
     global MIX_DYN4
     global SBANK_COLS, N_SBANK, SBANK_KIND, SBANK_ADAPT
-    global VMATCH, LMS, BANK_CH, DMC_IDX, N_INPUTS
+    global VMATCH, LMS, BANK_CH, RUNX, DMC_IDX, N_INPUTS
     global MIX_DYN2, MIX_KIND, _MIX1_ROWS, N_MIX1, _MIX1_OFF, _MIX1_TOTAL
     global MIX_AUX, M2IN, MIX_LR, MIX_TAU, MIX_BOOST, MIX_BOOST_N
     global W_APM_LEARN, MIX_NORM, STAT_NORM, APM2X, APM3X, SSE2, N_APM
@@ -334,9 +335,18 @@ def _derive(env):
     # Channels 2+ are APPENDED after all existing inputs so input
     # indices stay stable across gate settings.
     BANK_CH = gi("BANK_CH")
+    # RUNX: run channels for the first RUNX_N bank contexts -- each
+    # remembers the byte last seen in that context and a run counter,
+    # and votes that byte's tree path with a confidence learned per
+    # (model, run-length bucket).  The capability class of the
+    # reference's RunContextMap (src/models/fxcmv1.cpp:756-819,
+    # src/models/paq8.cpp:857-880): a second, direction-free channel
+    # per context map beyond the bit-history stats.
+    RUNX = gi("RUNX")
     DMC_IDX = N_BANK + 4 + N_MATCH + 2 + N_SBANK  # dmc channel pos in x
     N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH
                 + (1 if LMS else 0) + MATCH2 * N_MATCH
+                + RUNX_N * (1 if RUNX else 0)
                 + (BANK_CH - 1) * N_BANK)
     # bank + (d0+d1+d2+brk) + match + lstm + ppm + state bank + dmc
 
@@ -467,6 +477,8 @@ D12_ROWS = D12_BRK + 512
 LMS_K = 4
 LMS_MU = 0.002
 SBANK_RATE = 0.02
+RUNX_N = 16                # run channels cover the first 16 bank contexts
+#                            (byte orders 1-8, high orders, word contexts)
 # PPM SEE buckets: escape probability learned per
 # (order, distinct-symbols bucket, log2-total bucket) -- the capability
 # class of mod_ppmd's SEE2 contexts (src/models/ppmd.cpp:956-1109)
@@ -679,6 +691,14 @@ def init_shared(cfg: EngineConfig):
         sh["match2_conf"] = (
             jnp.full((N_MATCH, 32), 2253, dtype=jnp.int32) if PORT
             else jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32))
+    if RUNX:
+        # run channel per hashed row: (last byte << 8) | run count
+        sh["runx"] = jnp.zeros((RUNX_N, cfg.rows), dtype=jnp.uint32)
+        sh["runx_conf"] = (
+            jnp.full((RUNX_N, 32), 2253, dtype=jnp.int32) if PORT
+            else jnp.full((RUNX_N, 32), 0.55, dtype=jnp.float32))
+        # 32 buckets to share the match-confidence update helpers
+        # (run buckets use only 0..7)
     if BANK_CK:
         # per-row check bytes; 256 = virgin (matches no context's check,
         # so untouched rows read as fresh)
@@ -1467,9 +1487,39 @@ def _predict_tree_b(cfg, sh, pb, t):
     else:
         vlml = vconf = vexp_i = None
         vm = []
+    if RUNX:
+        # run channels (RunContextMap class, see _derive): the byte
+        # last seen under each of the first RUNX_N bank contexts votes
+        # its tree path with run-length-bucketed learned confidence
+        r_ar = jnp.arange(RUNX_N)
+        rx_rows = sh["runx"][r_ar[None, :], rowi[:, :RUNX_N]]  # (B, RN)
+        rx_byte = ((rx_rows >> U8) & jnp.uint32(0xFF)).astype(jnp.int32)
+        rx_cnt = (rx_rows & jnp.uint32(0xFF)).astype(jnp.int32)
+        rx_b = jnp.minimum(_floor_log2_i(rx_cnt + 1), 7)
+        rx_conf = sh["runx_conf"][r_ar[None, :], rx_b]        # (B, RN)
+        rx_pref = (1 << level)[None, None, :] + (
+            rx_byte[:, :, None] >> (8 - level)[None, None, :])
+        rx_alive = (node[None, None, :] == rx_pref) & \
+            (rx_cnt > 0)[:, :, None]
+        rx_bit = (rx_byte[:, :, None] >> (7 - level)[None, None, :]) & 1
+        if PORT:
+            rx_sign = jnp.where(rx_bit == 1, 1, -1)
+            st_runx = jnp.where(
+                rx_alive,
+                rx_sign * (stretch13_from_p12(rx_conf) - 4096)[:, :, None],
+                0)
+        else:
+            rx_sign = jnp.where(rx_bit == 1, 1.0, -1.0)
+            st_runx = jnp.where(
+                rx_alive, rx_sign * _stretch_f(rx_conf)[:, :, None], 0.0)
+        rx = [st_runx]
+    else:
+        rx_rows = rx_byte = rx_cnt = rx_b = rx_conf = None
+        rx_alive = rx_bit = None
+        rx = []
     x = jnp.concatenate(
         [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm,
-         st_sbank, st_dmc] + lm + vm + m2, axis=1)           # (B, NIN, 256)
+         st_sbank, st_dmc] + lm + vm + m2 + rx, axis=1)      # (B, NIN, 256)
     if BANK_CH > 1:
         # extra per-bank-model channels (see the BANK_CH note above);
         # the slot count is already in the gathered rows -- the widened
@@ -1713,6 +1763,8 @@ def _predict_tree_b(cfg, sh, pb, t):
                lms_xs=xs_f, lms_pred=predf, lms_pbyte=pbyte,
                lms_errb=errb, lms_conf=lconf,
                sse2_g=sse2_g, sse2_stf=sse2_stf, sse2_stp=sse2_stp,
+               rx_rows=rx_rows, rx_byte=rx_byte, rx_b=rx_b,
+               rx_conf=rx_conf, rx_alive=rx_alive, rx_bit=rx_bit,
                lms_med=(lms_med if LMS == 2 else None))
     return p_tree, aux
 
@@ -2069,6 +2121,27 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     if MATCH2:
         _mc("match2_conf", aux["exp_bit2"], aux["alive2"], aux["conf2"],
             aux["lenb2"])
+    if RUNX:
+        _mc("runx_conf", aux["rx_bit"], aux["rx_alive"], aux["rx_conf"],
+            aux["rx_b"])
+        # run-table refresh: same byte extends the run, a new byte
+        # restarts it (RunContextMap semantics)
+        r_ar = jnp.arange(RUNX_N)
+        rx_old_cnt = (aux["rx_rows"] & jnp.uint32(0xFF)).astype(jnp.int32)
+        same_rx = aux["rx_byte"] == byte[:, None]
+        ncnt = jnp.where(same_rx,
+                         jnp.minimum(rx_old_cnt + 1, 255), 1)
+        nrow = (byte[:, None].astype(jnp.uint32) << U8) \
+            | ncnt.astype(jnp.uint32)
+        rowi_r = aux["rowi"][:, :RUNX_N]
+        if PORT:
+            win_r = _claim_win(RUNX_N * cfg.rows,
+                               r_ar[None, :] * cfg.rows + rowi_r, B)
+            rowi_rw = jnp.where(win_r, rowi_r, cfg.rows)
+            sh["runx"] = sh["runx"].at[
+                r_ar[None, :], rowi_rw].set(nrow, mode="drop")
+        else:
+            sh["runx"] = sh["runx"].at[r_ar[None, :], rowi_r].set(nrow)
     if VMATCH:
         v_af = aux["valive"].astype(jnp.float32)             # (B,)
         vhit = (aux["vexp"] == byte).astype(jnp.float32)

@@ -25,7 +25,7 @@ def test_all_gates_roundtrip(tmp_path):
         "PYTHONPATH": "/root/repo",
         "MIX_AUX": "1", "MIX_DYN2": "1", "MIX_KIND": "1",
         "MIX_DYN3": "1", "MIX_DYN4": "1", "JPEGX": "1", "GRID2": "1",
-        "STEMX": "1", "APM3X": "1", "MATCH2": "1", "CTX2": "1", "SSE2": "1",
+        "STEMX": "1", "APM3X": "1", "MATCH2": "1", "CTX2": "1", "SSE2": "1", "RUNX": "1",
         "BANK_CK": "2", "PPM_UPD": "1",
         "VMATCH": "1", "LMS": "1", "BANK_CH": "3", "WIKI": "1",
         "PPM_EXCL": "1", "SBANK_ADAPT": "1", "X86X": "1",
@@ -46,7 +46,7 @@ _GATE_NAMES = [
     "MIX_BOOST", "MIX_BOOST_N", "W_APM_LEARN", "MIX_NORM", "STAT_NORM",
     "APM2X", "APM_FIXED", "CNT_CAP", "DMC_LEVELS", "MIX_DYN3",
     "MIX_DYN4", "JPEGX", "GRID2", "BANK_CK", "PPM_UPD", "STEMX",
-    "APM3X", "MATCH2", "CTX2", "SSE2"]
+    "APM3X", "MATCH2", "CTX2", "SSE2", "RUNX"]
 
 
 def _clean_env():
