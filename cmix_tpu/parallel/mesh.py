@@ -44,6 +44,7 @@ _SH_TP = {
     "d12": 0,         # (256+65536, 256)
     "ppm": 1,         # (NP, R, 256) -> shard rows
     "sbank": 1,       # (NS, R, 256) -> shard rows
+    "runx": 1,        # (RUNX_N, R) run channels -> shard rows
 }
 
 
