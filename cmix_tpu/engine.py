@@ -98,9 +98,11 @@ _GATE_SPEC = (
     ("VMATCH", int, "0"),
     ("LMS", int, "0"),
     ("GRID2", int, "0"),
-    ("JPEGX", int, "1"),   # measured strictly better on JPEG twice
-    #                        (r2 0.9554->0.9441, r3 0.9546->0.9397) and
-    #                        inert outside recoded-JPEG segments
+    ("JPEGX", int, "0"),   # content-routed: runner.compress enables it
+    #                        per archive when recoded-JPEG segments
+    #                        exist (measured strictly better there,
+    #                        r3 grace_hopper 0.9291x; ~0.2% dilution
+    #                        elsewhere) and records it in the gate blob
     ("STEMX", int, "1"),   # r3 probe: small text win, principled for
     #                        English (fxcm stemmer class)
     ("CTX2", int, "1"),    # r3 probe: text -0.15%

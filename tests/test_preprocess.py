@@ -137,12 +137,16 @@ def test_segmented_transform(d):
 def test_make_dict_builds_wrt_compatible_list(tmp_path):
     from cmix_tpu.tools.make_dict import build_dictionary
     corpus = open("/root/repo/testdata/text100k.raw", "rb").read()
-    words = build_dictionary([corpus], max_words=300)
+    words = build_dictionary([corpus], max_words=300, core=False)
     assert 0 < len(words) <= 300
     # frequency-ordered: first word at least as frequent as the last
-    assert corpus.lower().count(words[0]) >= corpus.lower().count(words[-1])
+    enc = [w.encode() if isinstance(w, str) else w for w in words]
+    assert corpus.lower().count(enc[0]) >= corpus.lower().count(enc[-1])
+    # curated head (r3): common English words take the 1-byte band
+    headed = build_dictionary([corpus], max_words=300)
+    assert headed[0] == "the"
     p = tmp_path / "t.dic"
-    p.write_bytes(b"\n".join(words) + b"\n")
+    p.write_bytes(b"\n".join(enc) + b"\n")
     dd = wrt.Dictionary(str(p))
     data = corpus[:4000]
     assert dd.decode(dd.encode(data)) == data
