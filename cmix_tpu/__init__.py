@@ -22,6 +22,21 @@ driving a binary arithmetic coder -- redesigned TPU-first:
   parallelism axis the serial-per-bit format permits (SURVEY.md section 2.8).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"          # round 3
 
 from cmix_tpu.version import FORMAT_VERSION  # noqa: F401
+
+
+def compress(data, cfg=None, **kw):
+    """Compress ``data`` (bytes) -> TCMX archive bytes.  See
+    cmix_tpu.runner.compress for parameters (dictionary=, max_batch=,
+    resume_path=...)."""
+    from cmix_tpu.engine import EngineConfig
+    from cmix_tpu import runner
+    return runner.compress(data, cfg or EngineConfig(), **kw)
+
+
+def decompress(archive, **kw):
+    """Decode a TCMX archive -> original bytes (FormatError on damage)."""
+    from cmix_tpu import runner
+    return runner.decompress(archive, **kw)
