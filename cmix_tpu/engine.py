@@ -2667,6 +2667,13 @@ def make_transcoder(cfg: EngineConfig):
     """Host-looped segmented transcoder:
     ``transcode(sh, pb, inp, comp, mode) -> (hist, out, out_len)``.
 
+    Known backend issue (r3, axon/TPU): configs with N_BANK >= ~65 AND
+    table rows >= 2^14 (tbits >= 22 under the r3 defaults) can fail
+    with an opaque FAILED_PRECONDITION, data-dependently (exe-like
+    content trips it, text may not; work/RESULTS.md 'Backend flake').
+    The default CLI tbits=18 is unaffected; big-table runs should set
+    CTX2=0 (as the 100 MiB headline run did).
+
     encode: inp (B, N) uint8 padded blocks, comp zeros -> compressed.
     decode: comp (B, comp_size) streams, inp zeros -> hist are the bytes.
     sh is the (possibly pretrained) shared model state; pb the batched

@@ -59,7 +59,11 @@ def main():
         return
     t00 = time.time()
     outs = []
-    for name in FILES:
+    settle = int(os.environ.get("SETTLE", 60))
+    for i, name in enumerate(FILES):
+        if i and settle:
+            time.sleep(settle)   # let the previous client's teardown
+            #                      drain on the tunnel server
         r = subprocess.run([sys.executable, __file__, name],
                            capture_output=True, text=True, timeout=2400)
         line = [l for l in r.stdout.splitlines() if l.startswith(name)]
