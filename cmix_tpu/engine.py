@@ -575,6 +575,44 @@ def _lstm_cfg(cfg: EngineConfig) -> LstmConfig:
                       horizon=cfg.lstm_horizon)
 
 
+# Max banks per stored chunk: the axon/TPU runtime faults with an opaque
+# FAILED_PRECONDITION on >=65-way leading-axis row gathers/scatters once
+# rows >= 2^14 (r3 'Backend flake'; r4 bisection: identical shapes pass
+# at 64 banks).  Chunking the table keeps every device op <= 64-way.
+BANK_SPLIT = 64
+
+
+def _bank_chunks():
+    """Chunking of the bank axis: [(key, lo, hi), ...], hi - lo <= 64."""
+    return [("bank" if lo == 0 else f"bank{lo // BANK_SPLIT + 1}",
+             lo, min(lo + BANK_SPLIT, N_BANK))
+            for lo in range(0, N_BANK, BANK_SPLIT)]
+
+
+def _bank_gather(sh, rowi, ck=False):
+    """bank[m, rowi[:, m]] across chunks -> (B, N_BANK, 256) uint32;
+    ck=True reads the int32 check-byte table instead -> (B, N_BANK)."""
+    outs = []
+    for k, lo, hi in _bank_chunks():
+        tbl = sh["bank_ck" + k[4:]] if ck else sh[k]
+        m = jnp.arange(hi - lo)
+        outs.append(tbl[m[None, :], rowi[:, lo:hi]])
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _bank_scatter(sh, rowi, newrows, ck_vals=None):
+    """Per-chunk row scatter (mode='drop' also swallows the PORT
+    claim-window's out-of-range sentinel rows)."""
+    for k, lo, hi in _bank_chunks():
+        m = jnp.arange(hi - lo)
+        sh[k] = sh[k].at[m[None, :], rowi[:, lo:hi]].set(
+            newrows[:, lo:hi], mode="drop")
+        if ck_vals is not None:
+            ckk = "bank_ck" + k[4:]
+            sh[ckk] = sh[ckk].at[m[None, :], rowi[:, lo:hi]].set(
+                ck_vals[:, lo:hi], mode="drop")
+
+
 def init_shared(cfg: EngineConfig):
     """Shared (per coding group) learned state -- no batch dimension.
 
@@ -591,8 +629,11 @@ def init_shared(cfg: EngineConfig):
         # bank slot bits: [0..5] cnt | [6..17] p12 | [18..30] st13 where
         # st13 = round(stretch*256)+4096 -- the stretch is precomputed at
         # update time so prediction needs no transcendentals on the tree.
-        "bank": jnp.full((N_BANK, cfg.rows, 256), _SLOT_INIT,
-                         dtype=jnp.uint32),
+        # Stored in <=BANK_SPLIT-bank chunks ("bank", "bank2", ...): the
+        # axon/TPU runtime faults (opaque FAILED_PRECONDITION) on >=65-way
+        # leading-axis gathers/scatters once rows >= 2^14 (work/RESULTS.md
+        # r3 'Backend flake' -> r4 bisection: N_IND=3 at the same shapes
+        # passes), so no single device op may span more than 64 banks.
         "d0_p": jnp.full(256, 0.5, dtype=jnp.float32),
         "d0_c": jnp.zeros(256, dtype=jnp.float32),
         # exact order-1 + order-2 + bracket byte models in one row arena
@@ -701,10 +742,14 @@ def init_shared(cfg: EngineConfig):
             else jnp.full((RUNX_N, 32), 0.55, dtype=jnp.float32))
         # 32 buckets to share the match-confidence update helpers
         # (run buckets use only 0..7)
-    if BANK_CK:
-        # per-row check bytes; 256 = virgin (matches no context's check,
-        # so untouched rows read as fresh)
-        sh["bank_ck"] = jnp.full((N_BANK, cfg.rows), 256, dtype=jnp.int32)
+    for k, lo, hi in _bank_chunks():
+        sh[k] = jnp.full((hi - lo, cfg.rows, 256), _SLOT_INIT,
+                         dtype=jnp.uint32)
+        if BANK_CK:
+            # per-row check bytes; 256 = virgin (matches no context's
+            # check, so untouched rows read as fresh)
+            sh["bank_ck" + k[4:]] = jnp.full((hi - lo, cfg.rows), 256,
+                                             dtype=jnp.int32)
     if SBANK_ADAPT:
         sh["sbank_c"] = jnp.zeros((N_SBANK, 256), dtype=jnp.float32)
     if cfg.lstm_hidden:
@@ -1296,10 +1341,10 @@ def _predict_tree_b(cfg, sh, pb, t):
         # mutual eviction of two hot contexts sharing a hashed row
         ck_exp = (bases & jnp.uint32(0xFF)).astype(jnp.int32)
         alt = rowi ^ 1
-        rows_a = sh["bank"][m_ar[None, :], rowi]             # (B, NM, 256)
-        rows_b = sh["bank"][m_ar[None, :], alt]
-        ok_a = sh["bank_ck"][m_ar[None, :], rowi] == ck_exp
-        ok_b = sh["bank_ck"][m_ar[None, :], alt] == ck_exp
+        rows_a = _bank_gather(sh, rowi)                      # (B, NM, 256)
+        rows_b = _bank_gather(sh, alt)
+        ok_a = _bank_gather(sh, rowi, ck=True) == ck_exp
+        ok_b = _bank_gather(sh, alt, ck=True) == ck_exp
         mat_a = rows_a[:, :, 1] & jnp.uint32(0x3F)
         mat_b = rows_b[:, :, 1] & jnp.uint32(0x3F)
         pick_b = (~ok_a) & (ok_b | (mat_b <= mat_a))
@@ -1308,14 +1353,14 @@ def _predict_tree_b(cfg, sh, pb, t):
         rows = jnp.where((ok_a | ok_b)[:, :, None], rows,
                          jnp.uint32(_SLOT_INIT))
     else:
-        rows = sh["bank"][m_ar[None, :], rowi]               # (B, NM, 256)
+        rows = _bank_gather(sh, rowi)                        # (B, NM, 256)
         if BANK_CK:
             # row checksum from the hash bits below the row index: a
             # mismatched row belongs to a different context -- read it
             # as fresh and let the update replace it (branchless
             # equivalent of direct-hash.cpp:31-48 probing/reset)
             ck_exp = (bases & jnp.uint32(0xFF)).astype(jnp.int32)
-            ck_ok = sh["bank_ck"][m_ar[None, :], rowi] == ck_exp
+            ck_ok = _bank_gather(sh, rowi, ck=True) == ck_exp
             rows = jnp.where(ck_ok[:, :, None], rows,
                              jnp.uint32(_SLOT_INIT))
     if PORT:                                                 # st256 int32
@@ -1846,20 +1891,14 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
                             _slot_update(aux["rows"], target[:, None, :]),
                             aux["rows"])
     m_ar = jnp.arange(N_BANK)
+    ck_vals = aux["ck_exp"] if BANK_CK else None
     if PORT:
         win = _claim_win(N_BANK * cfg.rows,
                          m_ar[None, :] * cfg.rows + aux["rowi"], B)
         rowi_w = jnp.where(win, aux["rowi"], cfg.rows)
-        sh["bank"] = sh["bank"].at[
-            m_ar[None, :], rowi_w].set(newrows, mode="drop")
-        if BANK_CK:
-            sh["bank_ck"] = sh["bank_ck"].at[
-                m_ar[None, :], rowi_w].set(aux["ck_exp"], mode="drop")
+        _bank_scatter(sh, rowi_w, newrows, ck_vals)
     else:
-        sh["bank"] = sh["bank"].at[m_ar[None, :], aux["rowi"]].set(newrows)
-        if BANK_CK:
-            sh["bank_ck"] = sh["bank_ck"].at[
-                m_ar[None, :], aux["rowi"]].set(aux["ck_exp"])
+        _bank_scatter(sh, aux["rowi"], newrows, ck_vals)
 
     # ---- d0: aggregated dense update (shared order-0 stats)
     if PORT:
@@ -2667,12 +2706,10 @@ def make_transcoder(cfg: EngineConfig):
     """Host-looped segmented transcoder:
     ``transcode(sh, pb, inp, comp, mode) -> (hist, out, out_len)``.
 
-    Known backend issue (r3, axon/TPU): configs with N_BANK >= ~65 AND
-    table rows >= 2^14 (tbits >= 22 under the r3 defaults) can fail
-    with an opaque FAILED_PRECONDITION, data-dependently (exe-like
-    content trips it, text may not; work/RESULTS.md 'Backend flake').
-    The default CLI tbits=18 is unaffected; big-table runs should set
-    CTX2=0 (as the 100 MiB headline run did).
+    (The r3 'backend cliff' -- FAILED_PRECONDITION at N_BANK >= 65 with
+    rows >= 2^14 -- was bisected in r4 to the >=65-way leading-axis bank
+    gather/scatter itself and is closed by the <=64-bank table chunking;
+    see BANK_SPLIT / _bank_chunks above.)
 
     encode: inp (B, N) uint8 padded blocks, comp zeros -> compressed.
     decode: comp (B, comp_size) streams, inp zeros -> hist are the bytes.

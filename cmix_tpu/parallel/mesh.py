@@ -53,6 +53,10 @@ def shared_shardings(mesh, cfg):
 
     def spec_for(path, x):
         key = path[-1].key if hasattr(path[-1], "key") else None
+        if key is not None and key.startswith("bank"):
+            # bank chunks ("bank2", ...) inherit the base "bank" spec;
+            # "bank_ck2" strips to "bank_ck" (replicated, not listed)
+            key = key.rstrip("0123456789")
         if key in _SH_TP:
             axes = [None] * x.ndim
             axes[_SH_TP[key]] = "tp"
