@@ -107,7 +107,7 @@ _GATE_SPEC = (
     #                        English (fxcm stemmer class)
     ("CTX2", int, "1"),    # r3 probe: text -0.15%
     ("BANK_CH", int, "1"),
-    ("RUNX", int, "0"),
+    ("RUNX", int, "1"),
     ("MIX_DYN2", int, "1"),
     ("MIX_KIND", int, "0"),
     ("MIX_AUX", int, "0"),
