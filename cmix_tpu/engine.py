@@ -106,6 +106,7 @@ _GATE_SPEC = (
     ("STEMX", int, "1"),   # r3 probe: small text win, principled for
     #                        English (fxcm stemmer class)
     ("CTX2", int, "1"),    # r3 probe: text -0.15%
+    ("CTX3", int, "0"),    # 8 more width contexts (post-cliff-fix lever)
     ("BANK_CH", int, "1"),
     ("RUNX", int, "1"),
     ("MIX_DYN2", int, "1"),
@@ -211,7 +212,7 @@ def _derive(env):
     gate name -> raw string; missing names take their defaults).  Called
     once at import with os.environ, and again by apply_gates when a
     decoded archive pins different gates."""
-    global N_IND, WIKI, X86X, GRID2, JPEGX, STEMX, CTX2, N_BANK
+    global N_IND, WIKI, X86X, GRID2, JPEGX, STEMX, CTX2, CTX3, N_BANK
     global MATCH_ORDERS, N_MATCH, MATCH2
     global PPM_ORDERS, N_PPM, PPM_EXCL, PPM_UPD, BANK_CK, MIX_DYN3
     global MIX_DYN4
@@ -248,8 +249,14 @@ def _derive(env):
     # length, xml tag x byte, every-other-byte sparse, stem x byte,
     # class-register x column
     CTX2 = gi("CTX2")
+    # CTX3: 8 further pure-width contexts over already-tracked state
+    # (sparse skip pairs, case-folded trigram, high-nibble order-4,
+    # word x coarse class, prev-word x sentence position, order-14,
+    # stem-prefix x byte) -- viable past N_BANK=64 only since the
+    # bank-table chunking (BANK_SPLIT) removed the backend cliff
+    CTX3 = gi("CTX3")
     N_BANK = (47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 6 * JPEGX
-              + 2 * STEMX + 8 * CTX2)
+              + 2 * STEMX + 8 * CTX2 + 8 * CTX3)
     #          25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
     #          + 2 line-grid + N_IND double-indirect
     MATCH_ORDERS = tuple(
@@ -980,6 +987,30 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
         vals.append(mix32(cs["clsreg"] & jnp.uint32(0xFFF),
                           jnp.minimum(cs["linepos"], jnp.uint32(63))
                           + jnp.uint32(0x5BE0)))
+    if CTX3:
+        # pure-width contexts toward the reference's layer-0 count
+        # (paq8 TextModel-33 + sparseModel mask family,
+        # src/models/paq8.cpp:3070-3185,4504) over existing state
+        l8 = cs["last8"]
+        b4 = (l4 >> jnp.uint32(24)) & jnp.uint32(0xFF)
+        b5l = l8 & jnp.uint32(0xFF)
+        b7 = (l8 >> jnp.uint32(16)) & jnp.uint32(0xFF)
+        vals.append(mix32(b2 | (b4 << U8),
+                          jnp.uint32(0x71374491)))           # even skip pair
+        vals.append(mix32(b5l | (b7 << U8),
+                          jnp.uint32(0xB5C0FBCF)))           # far skip pair
+        vals.append(mix32((l4 | jnp.uint32(0x20202020))
+                          & jnp.uint32(0xFFFFFF),
+                          jnp.uint32(0xE9B5DBA5)))           # folded trigram
+        vals.append(mix32(l4 & jnp.uint32(0xF0F0F0F0),
+                          jnp.uint32(0x3956C25B)))           # hi-nib order-4
+        vals.append(mix32(cs["word"],
+                          cs["cls2reg"] + jnp.uint32(0x59F1)))
+        vals.append(mix32(cs["last_word"],
+                          jnp.minimum(cs["sentpos"], jnp.uint32(255))
+                          + jnp.uint32(0x923F)))
+        vals.append(oh[:, 14])                               # order-14
+        vals.append(mix32(cs["word_pfx"], b1 + jnp.uint32(0xAB1C)))
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24], above_l, v_alive
