@@ -20,6 +20,8 @@ and no routed experts (the model bank is dense -- every model fires every
 byte).  Those axes would add communication without widening a bottleneck.
 """
 
+import re
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -53,10 +55,12 @@ def shared_shardings(mesh, cfg):
 
     def spec_for(path, x):
         key = path[-1].key if hasattr(path[-1], "key") else None
-        if key is not None and key.startswith("bank"):
+        if key is not None and re.fullmatch(r"bank(_ck)?\d*", key):
             # bank chunks ("bank2", ...) inherit the base "bank" spec;
-            # "bank_ck2" strips to "bank_ck" (replicated, not listed)
-            key = key.rstrip("0123456789")
+            # "bank_ck2" maps to "bank_ck" (replicated, not listed).
+            # Exact-match the chunk naming so an unrelated future key
+            # like "bank_stats2" cannot silently inherit the tp spec.
+            key = "bank_ck" if "_ck" in key else "bank"
         if key in _SH_TP:
             axes = [None] * x.ndim
             axes[_SH_TP[key]] = "tp"

@@ -6,5 +6,9 @@ ensemble (like the reference, where the predictor IS the format:
 wiring, update rules, or the coder bumps FORMAT_VERSION.
 """
 
-FORMAT_VERSION = 17
+# v18: RUNX default flipped 0->1 (round 4).  gates_blob records only
+# non-default gates, so a defaults flip re-keys the meaning of an absent
+# gate -- every such flip MUST bump the version (decode refuses version
+# mismatch, making the incompatibility loud instead of a silent desync).
+FORMAT_VERSION = 18
 MAGIC = b"TCMX"
