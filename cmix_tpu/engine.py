@@ -109,6 +109,7 @@ _GATE_SPEC = (
     ("CTX3", int, "0"),    # 8 more width contexts (post-cliff-fix lever)
     ("BANK_CH", int, "1"),
     ("RUNX", int, "1"),
+    ("RUNX_N", int, "16"),   # how many bank contexts carry run channels
     ("MIX_DYN2", int, "1"),
     ("MIX_KIND", int, "0"),
     ("MIX_AUX", int, "0"),
@@ -350,8 +351,13 @@ def _derive(env):
     # (model, run-length bucket).  The capability class of the
     # reference's RunContextMap (src/models/fxcmv1.cpp:756-819,
     # src/models/paq8.cpp:857-880): a second, direction-free channel
-    # per context map beyond the bit-history stats.
+    # per context map beyond the bit-history stats.  RUNX_N widens the
+    # coverage (reference ContextMaps ALL carry a run channel); capped
+    # at BANK_SPLIT=64 so the runx table's leading-axis gathers stay
+    # under the >=65-way backend cliff without needing chunking.
     RUNX = gi("RUNX")
+    global RUNX_N
+    RUNX_N = min(gi("RUNX_N"), N_BANK, 64)
     DMC_IDX = N_BANK + 4 + N_MATCH + 2 + N_SBANK  # dmc channel pos in x
     N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH
                 + (1 if LMS else 0) + MATCH2 * N_MATCH
@@ -486,8 +492,6 @@ D12_ROWS = D12_BRK + 512
 LMS_K = 4
 LMS_MU = 0.002
 SBANK_RATE = 0.02
-RUNX_N = 16                # run channels cover the first 16 bank contexts
-#                            (byte orders 1-8, high orders, word contexts)
 # PPM SEE buckets: escape probability learned per
 # (order, distinct-symbols bucket, log2-total bucket) -- the capability
 # class of mod_ppmd's SEE2 contexts (src/models/ppmd.cpp:956-1109)
