@@ -111,6 +111,7 @@ _GATE_SPEC = (
     ("RUNX", int, "1"),
     ("RUNX_N", int, "16"),   # how many bank contexts carry run channels
     ("MIX_DYN2", int, "1"),
+    ("MIX2X", int, "0"),   # 5 extra context-gated layer-2 mixers
     ("MIX_KIND", int, "0"),
     ("MIX_AUX", int, "0"),
     ("MIX_LR", float, "4e-3"),
@@ -220,6 +221,7 @@ def _derive(env):
     global SBANK_COLS, N_SBANK, SBANK_KIND, SBANK_ADAPT
     global VMATCH, LMS, BANK_CH, RUNX, DMC_IDX, N_INPUTS
     global MIX_DYN2, MIX_KIND, _MIX1_ROWS, N_MIX1, _MIX1_OFF, _MIX1_TOTAL
+    global MIX2X, _MIX2_ROWS, _MIX2_OFF, _MIX2_TOTAL, N_L2
     global MIX_AUX, M2IN, MIX_LR, MIX_TAU, MIX_BOOST, MIX_BOOST_N
     global W_APM_LEARN, MIX_NORM, STAT_NORM, APM2X, APM3X, SSE2, N_APM
     global APM_ROWS
@@ -400,6 +402,21 @@ def _derive(env):
     _MIX1_OFF = np.concatenate(
         [[0], np.cumsum(_MIX1_ROWS)[:-1]]).astype(np.int32)
     _MIX1_TOTAL = int(_MIX1_ROWS.sum())
+    # MIX2X: a SECOND population of context-gated mixers at layer 2 --
+    # the reference routes its layer-0 mixer outputs through TWENTY
+    # gated layer-1 mixers (src/predictor.cpp:330-352) where this
+    # engine had only 3 (level / last byte / byte class).  Five more
+    # gates: word hash, longest-match state, order-2 hash, order-2
+    # bit-history state (the sse.cpp-style bit-history gate), line
+    # position x coarse class.  One stacked weight table, offset rows.
+    MIX2X = gi("MIX2X")
+    _MIX2_ROWS = np.array([64, 64, 256, 256, 256] if MIX2X else [],
+                          dtype=np.int64)
+    _MIX2_OFF = np.concatenate(
+        [[0], np.cumsum(_MIX2_ROWS)[:-1]]).astype(np.int32) \
+        if len(_MIX2_ROWS) else np.zeros(0, np.int32)
+    _MIX2_TOTAL = int(_MIX2_ROWS.sum())
+    N_L2 = 3 + len(_MIX2_ROWS)               # layer-2 mixer count
     # layer-2 mixer input width: layer-1 outputs + optional raw aux taps
     # (LSTM, PPM, DMC stretches -- the reference's auxiliary inputs,
     # src/predictor.cpp:72-75,388-406)
@@ -688,8 +705,10 @@ def init_shared(cfg: EngineConfig):
         "w2": jnp.tile(_w2_init_row()[None], (8, 1)),
         "w2b": jnp.tile(_w2_init_row()[None], (256, 1)),
         "w2c": jnp.tile(_w2_init_row()[None], (64, 1)),
-        "bias2": jnp.zeros((3, 256), dtype=jnp.float32),
-        "w3": jnp.full((8, 3), 1.0 / 3.0, dtype=jnp.float32),
+        **({"w2x": jnp.tile(_w2_init_row()[None], (_MIX2_TOTAL, 1))}
+           if MIX2X else {}),
+        "bias2": jnp.zeros((N_L2, 256), dtype=jnp.float32),
+        "w3": jnp.full((8, N_L2), 1.0 / N_L2, dtype=jnp.float32),
         "bias3": jnp.zeros(256, dtype=jnp.float32),
         # APM rows: [0,256) last byte | [256,320) match state |
         # [320,576) order-2 hash
@@ -726,8 +745,10 @@ def init_shared(cfg: EngineConfig):
             "w2": jnp.tile(w2i[None], (8, 1)),
             "w2b": jnp.tile(w2i[None], (256, 1)),
             "w2c": jnp.tile(w2i[None], (64, 1)),
-            "bias2": jnp.zeros((3, 256), dtype=jnp.int32),
-            "w3": jnp.full((8, 3), 65536 // 3, dtype=jnp.int32),
+            **({"w2x": jnp.tile(w2i[None], (_MIX2_TOTAL, 1))}
+               if MIX2X else {}),
+            "bias2": jnp.zeros((N_L2, 256), dtype=jnp.int32),
+            "w3": jnp.full((8, N_L2), 65536 // N_L2, dtype=jnp.int32),
             "bias3": jnp.zeros(256, dtype=jnp.int32),
             "apm": jnp.tile(jnp.clip(jnp.round(_apm_row() * 4096.0),
                                      1, 4095).astype(jnp.int32)[None],
@@ -1686,12 +1707,28 @@ def _predict_tree_b(cfg, sh, pb, t):
     else:
         st1c = st1
     clsg = (cs["clsreg"] & jnp.uint32(63)).astype(jnp.int32)  # (B,)
+    if MIX2X:
+        sbg = SBANK_COLS.index(1) if 1 in SBANK_COLS else 0
+        dyn2_idx = jnp.stack([
+            (cs["word"] & jnp.uint32(63)).astype(jnp.int32),
+            longest,
+            ((cs["ohash"][:, 2] >> jnp.uint32(17))
+             & jnp.uint32(0xFF)).astype(jnp.int32),
+            (srows[:, sbg, 1] & jnp.uint32(0xFF)).astype(jnp.int32),
+            (jnp.minimum(cs["linepos"], jnp.uint32(63)) * 4
+             + (cs["cls2reg"] & jnp.uint32(3))).astype(jnp.int32),
+        ], axis=1) + jnp.asarray(_MIX2_OFF)[None, :]         # (B, K2)
+        w2x_rows = sh["w2x"][dyn2_idx]                       # (B, K2, M2IN)
+    else:
+        dyn2_idx = w2x_rows = None
     w2n = sh["w2"][level]                                    # (256, M2IN)
     if PORT:
-        dot2 = jnp.stack(
-            [_idot("km,bmk->bk", w2n, st1c),
-             _idot("bm,bmk->bk", sh["w2b"][b1], st1c),
-             _idot("bm,bmk->bk", sh["w2c"][clsg], st1c)], axis=1)
+        dot2l = [_idot("km,bmk->bk", w2n, st1c)[:, None],
+                 _idot("bm,bmk->bk", sh["w2b"][b1], st1c)[:, None],
+                 _idot("bm,bmk->bk", sh["w2c"][clsg], st1c)[:, None]]
+        if MIX2X:
+            dot2l.append(_idot("bjm,bmk->bjk", w2x_rows, st1c))
+        dot2 = jnp.concatenate(dot2l, axis=1)
         dot2 = jnp.clip(dot2 + (sh["bias2"][None] >> 8), -3071, 3071)
         p2 = squash12(dot2 + 4096)
         st2 = dot2
@@ -1700,14 +1737,16 @@ def _predict_tree_b(cfg, sh, pb, t):
         st3 = jnp.clip(dot3, -3071, 3071)
         p_mix = squash12(st3 + 4096)                         # p12
     else:
-        dot2a = jnp.einsum("km,bmk->bk", w2n, st1c)
-        dot2b = jnp.einsum("bm,bmk->bk", sh["w2b"][b1], st1c)
-        dot2c = jnp.einsum("bm,bmk->bk", sh["w2c"][clsg], st1c)
-        dot2 = jnp.stack([dot2a, dot2b, dot2c], axis=1) \
-            + sh["bias2"][None]                              # (B, 3, 256)
+        dot2l = [jnp.einsum("km,bmk->bk", w2n, st1c)[:, None],
+                 jnp.einsum("bm,bmk->bk", sh["w2b"][b1], st1c)[:, None],
+                 jnp.einsum("bm,bmk->bk", sh["w2c"][clsg], st1c)[:, None]]
+        if MIX2X:
+            dot2l.append(jnp.einsum("bjm,bmk->bjk", w2x_rows, st1c))
+        dot2 = jnp.concatenate(dot2l, axis=1) \
+            + sh["bias2"][None]                              # (B, NL2, 256)
         p2 = _squash_f(dot2)
         st2 = jnp.clip(dot2, -ST_CLAMP, ST_CLAMP)
-        w3n = sh["w3"][level]                                # (256, 3)
+        w3n = sh["w3"][level]                                # (256, NL2)
         dot3 = jnp.einsum("kj,bjk->bk", w3n, st2) + sh["bias3"][None]
         st3 = None
         p_mix = _squash_f(dot3)                              # (B, 256)
@@ -1838,7 +1877,7 @@ def _predict_tree_b(cfg, sh, pb, t):
                alive2=alive2, exp_bit2=exp_bit2, lenb2=lenb2, conf2=conf2,
                conf=conf, x=x, dyn_idx=dyn_idx, w_const=w_const,
                w_level=w_level, p1=p1, st1=st1c, p_mix=p_mix,
-               p2=p2, st2=st2, clsg=clsg,
+               p2=p2, st2=st2, clsg=clsg, dyn2_idx=dyn2_idx,
                longest=longest, tls=tuple(tls), frs=tuple(frs),
                st_in=st_in, p_tree=p_tree, p_tree12=p_tree12,
                vlml=vlml, vconf=vconf, vexp=vexp_i, valive=v_alive,
@@ -2285,7 +2324,7 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         sh["w1"] = sh["w1"].at[aux["dyn_idx"]].add(lr * dws[:, 2:])
     sh["bias1"] = sh["bias1"] + lr * B_f * jnp.sum(err1, axis=0)
 
-    err2 = (target[:, None, :] - aux["p2"]) * on_path[:, None, :]  # (B,3,256)
+    err2 = (target[:, None, :] - aux["p2"]) * on_path[:, None, :]  # (B,L2,256)
     dw2 = jnp.einsum("lk,bk,bmk->lm", lvl_onehot, err2[:, 0], aux["st1"])
     sh["w2"] = sh["w2"] + lr * B_f * dw2
     dw2b = jnp.einsum("bk,bmk->bm", err2[:, 1], aux["st1"])
@@ -2300,6 +2339,17 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     else:
         sh["w2b"] = sh["w2b"].at[aux["b1"]].add(lr * dw2b)
         sh["w2c"] = sh["w2c"].at[aux["clsg"]].add(lr * dw2c)
+    if MIX2X:
+        dw2x = jnp.einsum("bjk,bmk->bjm", err2[:, 3:], aux["st1"])
+        if MIX_NORM:
+            c2x = jnp.zeros(_MIX2_TOTAL, jnp.float32
+                            ).at[aux["dyn2_idx"]].add(1.0)
+            a2x = jnp.zeros((_MIX2_TOTAL, M2IN), jnp.float32
+                            ).at[aux["dyn2_idx"]].add(dw2x)
+            sh["w2x"] = sh["w2x"] + lr * a2x / jnp.maximum(
+                c2x[:, None], 1.0)
+        else:
+            sh["w2x"] = sh["w2x"].at[aux["dyn2_idx"]].add(lr * dw2x)
     sh["bias2"] = sh["bias2"] + lr * B_f * jnp.sum(err2, axis=0)
 
     err3 = (target - aux["p_mix"]) * on_path                 # (B, 256)
@@ -2421,6 +2471,15 @@ def _update_mixers_int(cfg, sh, aux, target_i, on_path, n8, t8, B):
         ac = ac // jnp.maximum(cc[:, None], 1)
     sh["w2b"] = jnp.clip(sh["w2b"] + ((lr12 * ab) >> 8), -524288, 524288)
     sh["w2c"] = jnp.clip(sh["w2c"] + ((lr12 * ac) >> 8), -524288, 524288)
+    if MIX2X:
+        dw2x = jnp.einsum("bjk,bmk->bjm", err2[:, 3:], aux["st1"]) >> 8
+        c2x = jnp.zeros(_MIX2_TOTAL, jnp.int32).at[aux["dyn2_idx"]].add(1)
+        a2x = jnp.zeros((_MIX2_TOTAL, M2IN), jnp.int32
+                        ).at[aux["dyn2_idx"]].add(dw2x)
+        if MIX_NORM:
+            a2x = a2x // jnp.maximum(c2x[:, None], 1)
+        sh["w2x"] = jnp.clip(sh["w2x"] + ((lr12 * a2x) >> 8),
+                             -524288, 524288)
     db2 = jnp.sum(err2, axis=0)
     if MIX_NORM:
         db2 = db2 // B
