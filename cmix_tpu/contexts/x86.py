@@ -136,7 +136,7 @@ def init_x86_state():
             # of the last opcodes (operand bytes excluded) -- the
             # reference exeModel's opcode n-gram contexts
             # (src/models/paq8.cpp:6590-7546 Cache of recent opcodes)
-            "pop": z, "ophist": z}
+            "pop": z, "pop2": z, "ophist": z}
 
 
 def x86_update(st, b):
@@ -214,6 +214,7 @@ def x86_update(st, b):
                         jnp.where(done, jnp.uint32(0),
                                   st["lastjmp"]))
     pop = jnp.where(started, op, st["pop"])
+    pop2 = jnp.where(started, st["pop"], st["pop2"])
     ophist = jnp.where(
         started,
         st["ophist"] * jnp.uint32(0x2545F491) + opc + jnp.uint32(1),
@@ -221,7 +222,7 @@ def x86_update(st, b):
     return {"phase": nxt, "rem": jnp.minimum(new_rem, jnp.uint32(15)),
             "pimm": new_pimm, "op": new_op, "modrm": new_modrm,
             "ipos": new_ipos, "opln": new_opln, "lastjmp": lastjmp,
-            "pop": pop, "ophist": ophist}
+            "pop": pop, "pop2": pop2, "ophist": ophist}
 
 
 def x86_ctx_vals(st):
@@ -256,3 +257,21 @@ def x86_ext_vals(st):
     v6 = mix32(st["ophist"],
                st["ipos"] + jnp.uint32(0x61C88647))
     return jnp.stack([v5, v6], axis=1)
+
+
+def x86_ext_vals2(st):
+    """Deeper exeModel-class contexts (B, 2), active at X86X>=2:
+    the opcode TRIGRAM (exeModel keeps a cache of recent opcodes and
+    hashes several-deep opcode n-grams, src/models/paq8.cpp:6590-7546)
+    and (opcode, ModRM reg field, phase) -- the /r field selects the
+    sub-operation for the 0x80/0xC0/0xF6/0xFE opcode groups, so it IS
+    part of the effective opcode."""
+    from cmix_tpu.contexts.hashes import mix32
+    v7 = mix32(mix32(st["pop2"], st["pop"] + jnp.uint32(0x8F1B)),
+               st["op"] * jnp.uint32(4)
+               + jnp.minimum(st["ipos"], jnp.uint32(3)))
+    v8 = mix32(st["op"] * jnp.uint32(64)
+               + ((st["modrm"] >> jnp.uint32(3)) & jnp.uint32(7))
+               * jnp.uint32(8) + st["phase"],
+               jnp.uint32(0xC2B2AE35))
+    return jnp.stack([v7, v8], axis=1)

@@ -981,10 +981,14 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
                           jnp.uint32(0xD6E8FEB8)))
         vals.append(mix32(cs["word"], cs["cellidx"] + jnp.uint32(0x2F)))
     if X86X:
-        from cmix_tpu.contexts.x86 import x86_ext_vals
+        from cmix_tpu.contexts.x86 import x86_ext_vals, x86_ext_vals2
         xe = x86_ext_vals(x86_state)
         vals.append(xe[:, 0])
         vals.append(xe[:, 1])
+        if X86X >= 2:
+            xe2 = x86_ext_vals2(x86_state)
+            vals.append(xe2[:, 0])
+            vals.append(xe2[:, 1])
     if GRID2:   # appended last so existing context indices stay stable
         vals.append(rec_vals[:, 4])
         vals.append(rec_vals[:, 5])

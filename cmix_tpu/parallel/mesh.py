@@ -90,11 +90,13 @@ def make_sharded_transcoder(cfg: EngineConfig, mesh: Mesh):
         in_shardings=(sh_shard, pb_shard, cd_shard, None, dp_t, dp, dp),
         out_shardings=(sh_shard, pb_shard, cd_shard, dp_t, dp_t),
         donate_argnums=(0, 1, 2))
+    # no donation for the compactor: its uint8 outputs can never reuse
+    # the uint32 emission buffers (same fix as engine.make_transcoder --
+    # donating only produced "donated buffers were not usable" warnings)
     comp_jit = jax.jit(
         make_seg_compactor(cfg),
         in_shardings=(dp_t, dp_t),
-        out_shardings=(dp, dp),
-        donate_argnums=(0, 1))
+        out_shardings=(dp, dp))
 
     def transcode(sh, pb, inp, comp, mode):
         b = int(inp.shape[0])

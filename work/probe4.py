@@ -15,7 +15,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-FILES = ("text100k", "exe100k", "dict100k")
+FILES = tuple(os.environ.get(
+    "FILES", "text100k,exe100k,dict100k").split(","))
 
 
 def run_one(name):
