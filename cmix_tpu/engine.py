@@ -258,7 +258,7 @@ def _derive(env):
     # stem-prefix x byte) -- viable past N_BANK=64 only since the
     # bank-table chunking (BANK_SPLIT) removed the backend cliff
     CTX3 = gi("CTX3")
-    N_BANK = (47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 6 * JPEGX
+    N_BANK = (47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 8 * JPEGX
               + 2 * STEMX + 8 * CTX2 + 8 * CTX3)
     #          25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
     #          + 2 line-grid + N_IND double-indirect
@@ -994,7 +994,7 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
         vals.append(rec_vals[:, 5])
     if JPEGX:
         j0 = 4 + 2 * GRID2
-        for jj in range(6):
+        for jj in range(8):
             vals.append(rec_vals[:, j0 + jj])
     if STEMX:
         vals.append(mix32(cs["last_stem"], jnp.uint32(0x85EBCA77)))
@@ -1139,6 +1139,33 @@ def _record_ctx_vals(cfg, pb, t):
                           | (_magq(pk2 & jnp.uint32(0xFF)) << jnp.uint32(4))
                           | (_magq(above) << U8),
                           ck + jnp.uint32(0x27D4EB2F)))      # mag field
+        # round-4 value contexts (VERDICT #5, toward the 0.88x bar):
+        # (a) the EOB/zero-run structure: JPEG blocks end in a zero
+        # tail, so the ZERO FLAGS of this block's last four zigzag
+        # positions sharply predict another zero (the run/EOB coding
+        # structure the reference models explicitly in its huffman-
+        # state contexts, paq8.cpp:5871-6589); (b) the north block's
+        # k-1 coefficient + north-east same-k -- 2D magnitude texture.
+        pk3 = pb["hist"][bar, jnp.mod(t - 3 * clc, n)].astype(jnp.uint32)
+        pk4 = pb["hist"][bar, jnp.mod(t - 4 * clc, n)].astype(jnp.uint32)
+        z4 = ((pk1 == 128).astype(jnp.uint32)
+              | ((pk2 == 128).astype(jnp.uint32) << jnp.uint32(1))
+              | (jnp.where(kq >= 3, (pk3 == 128).astype(jnp.uint32), 2)
+                 << jnp.uint32(2))
+              | (jnp.where(kq >= 4, (pk4 == 128).astype(jnp.uint32), 2)
+                 << jnp.uint32(4)))
+        vals.append(mix32(z4 | (_magq(pk1 & jnp.uint32(0xFF))
+                                << jnp.uint32(6)),
+                          ck + jnp.uint32(0x165667B1)))      # zero-tail
+        stride_j = jnp.maximum(rl, 1)
+        nk1 = pb["hist"][bar, jnp.mod(t - clc - stride_j, n)
+                         ].astype(jnp.uint32)                # N of k-1
+        ne = pb["hist"][bar, jnp.mod(t - stride_j + 1, n)
+                        ].astype(jnp.uint32)                 # NE same k
+        vals.append(mix32(_magq(nk1) | (_magq(ne) << jnp.uint32(4))
+                          | (_magq(above) << U8)
+                          | (_magq(lfj) << jnp.uint32(12)),
+                          ck + jnp.uint32(0x85EBCA6B)))      # 2D mag grid
     return jnp.stack(vals, axis=1), rl, posr
 
 

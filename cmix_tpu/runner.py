@@ -222,13 +222,20 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     #   probe (photo/terrain 0.3688->0.3681, JPEG 0.9311->0.9291) and
     #   address by a record stride that plain text does not have -- on
     #   when any strided media/JPEG segment exists.
-    from cmix_tpu.preprocess.wrt import _STRIDE_SEGS
+    # - X86X: the instruction-structure contexts earn their keep on
+    #   machine code (exe100k 2.0146 -> 1.9925 at X86X=2, r4 W5b) and
+    #   are ~neutral-but-not-free elsewhere -- on at depth 2 exactly
+    #   when the detector found an EXE segment.
+    from cmix_tpu.preprocess.wrt import _STRIDE_SEGS, SEG_EXE
     want_jpegx = 1 if (seg_meta is not None and any(
         e[0] == _SEG_JPEGC for e in seg_meta)) else 0
     want_grid2 = 1 if (seg_meta is not None and any(
         e[0] in _STRIDE_SEGS for e in seg_meta)) else 0
+    want_x86 = 2 if (seg_meta is not None and any(
+        e[0] == SEG_EXE for e in seg_meta)) else 0
     prev_gates = engine.gates_blob()
-    if engine.update_gates({"JPEGX": want_jpegx, "GRID2": want_grid2}):
+    if engine.update_gates({"JPEGX": want_jpegx, "GRID2": want_grid2,
+                            "X86X": want_x86}):
         _TRANSCODER_CACHE.clear()
     try:
         if d is not None:

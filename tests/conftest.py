@@ -16,3 +16,11 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    # Suite budget (VERDICT r3 #10): `pytest -m "not slow"` completes in
+    # <10 min on this 2-vCPU box; the heavy roundtrip/scale matrix runs
+    # with RUN_SLOW=1 (full format coverage, ~25+ min).
+    config.addinivalue_line(
+        "markers", "slow: heavy roundtrip/scale cases (see RUN_SLOW)")

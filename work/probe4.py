@@ -55,6 +55,11 @@ def run_one(name):
 
 
 def main():
+    if os.environ.get("PROBE_SCRIPT"):
+        # queue-runner dispatch: run an arbitrary probe script instead
+        # (single-compile-per-process discipline is the script's job)
+        os.execv(sys.executable,
+                 [sys.executable, os.environ["PROBE_SCRIPT"]])
     if len(sys.argv) > 1:
         run_one(sys.argv[1])
         return
