@@ -11,6 +11,7 @@ import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_all_gates_roundtrip(tmp_path):
     src = tmp_path / "in.bin"
     # mixed content: text with table rows + binary tail
@@ -57,6 +58,7 @@ def _clean_env():
     return env
 
 
+@pytest.mark.slow
 def test_gates_in_header_decode_clean_env(tmp_path):
     """Encode with non-default gates set in the environment; decode in a
     CLEAN environment.  The archive's gate record (header v3) must

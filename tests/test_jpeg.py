@@ -109,6 +109,7 @@ def test_recoded_geometry():
     assert clens[0] == 4 * clens[1] == 4 * clens[2]
 
 
+@pytest.mark.slow
 def test_compress_roundtrip_jpegx(monkeypatch):
     """JPEGX coefficient-grid contexts: geometry rides the segment
     table, decode reproduces the ensemble (the jpegModel-class contexts

@@ -9,6 +9,7 @@ hint threaded into the engine's record-grid contexts.
 import struct
 
 import numpy as np
+import pytest
 
 from cmix_tpu.engine import EngineConfig
 from cmix_tpu.preprocess.media import (
@@ -101,6 +102,7 @@ def test_block_strides():
     assert fr[3] == 0 and fr[4] == 0
 
 
+@pytest.mark.slow
 def test_compress_roundtrip_bmp():
     rng = np.random.default_rng(4)
     data = _bmp24(50, 45, rng)                 # ~7 KB, spans blocks

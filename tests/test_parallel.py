@@ -17,6 +17,7 @@ def test_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_encode_decode_roundtrip():
     mesh = make_mesh(4, 2)
     trans = make_sharded_transcoder(CFG, mesh)
@@ -68,6 +69,7 @@ def test_sharded_roundtrip_same_mesh():
     assert np.array_equal(np.asarray(hist), data)
 
 
+@pytest.mark.slow
 def test_portable_cross_executable():
     """PORT=1: an archive encoded by ONE executable (unsharded) decodes
     bit-exactly under a DIFFERENT executable (4x2-sharded mesh), and the
@@ -129,6 +131,7 @@ def test_portable_cross_executable():
         engine.apply_gates(prev)
 
 
+@pytest.mark.slow
 def test_graft_entry():
     import sys
     sys.path.insert(0, "/root/repo")

@@ -44,12 +44,14 @@ def test_repetitive():
     assert len(arch) < len(data) * 0.1
 
 
+@pytest.mark.slow
 def test_random_incompressible():
     data = np.random.RandomState(7).bytes(3000)
     arch = _roundtrip(data)
     assert len(arch) < len(data) + 200          # raw fallback bounds blowup
 
 
+@pytest.mark.slow
 def test_multi_block():
     with open("/root/reference/COPYING", "rb") as f:
         data = f.read()[:7000]                  # spans 4 blocks of 2048
@@ -61,6 +63,7 @@ def test_all_byte_values():
     _roundtrip(data)
 
 
+@pytest.mark.slow
 def test_lstm_roundtrip():
     cfg = EngineConfig(block_size=1024, tbits=12, mbits=12, ibits=10,
                        lstm_hidden=64)
@@ -70,6 +73,7 @@ def test_lstm_roundtrip():
     assert decompress(arch) == data
 
 
+@pytest.mark.slow
 def test_dictionary_mode_roundtrip():
     cfg = EngineConfig(block_size=2048, tbits=14, mbits=14, ibits=12,
                        lstm_hidden=0)
@@ -92,6 +96,7 @@ def test_dictionary_mode_roundtrip():
         os.unlink(dic)
 
 
+@pytest.mark.slow
 def test_resume_journal(tmp_path):
     """Failure recovery: a run interrupted between coding groups restarts
     from the journal and produces the identical archive."""

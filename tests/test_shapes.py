@@ -35,6 +35,7 @@ def _mk_dict(data: bytes) -> str:
     return f.name
 
 
+@pytest.mark.slow
 def test_header_reconstructs_config():
     """Every EngineConfig field that selects the compiled executable must
     come back identical from the archive header."""
@@ -53,6 +54,7 @@ def test_header_reconstructs_config():
     assert back == cfg
 
 
+@pytest.mark.slow
 def test_nondefault_seg_size_dict_roundtrip():
     """The exact round-2 failure shape, shrunk: dictionary pretraining
     + a seg_size the decoder would not derive by default."""
@@ -85,6 +87,7 @@ def test_config_validation():
         EngineConfig(dmc_nodes=1 << 17)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("blk,dict_on", [
     (1 << 14, False),
     pytest.param(1 << 16, True, marks=pytest.mark.skipif(
