@@ -62,6 +62,9 @@ from cmix_tpu.states.tables import (
 from cmix_tpu.mixer.lstm import (
     LstmConfig, init_lstm_shared, init_lstm_perblock,
     lstm_shared_byte_update)
+from cmix_tpu.mixer.ilstm import (
+    ILstmConfig, init_ilstm_shared, init_ilstm_perblock,
+    ilstm_shared_byte_update)
 from cmix_tpu.models import dmc
 from cmix_tpu.utils.intmath import (
     stretch13_from_p12, squash12, squash16)
@@ -81,7 +84,7 @@ U8 = jnp.uint32(8)
 # encoding ensemble via apply_gates -- so env drift can no longer desync
 # an archive.  (name, type, default); values are normalized strings.
 _GATE_SPEC = (
-    ("CMIX_N_IND", int, "4"),
+    ("CMIX_N_IND", int, "8"),   # r4 W3: wins all three content types
     ("WIKI", int, "1"),
     ("X86X", int, "0"),
     # orders 100/101 are word-keyed matches (r3 probe: text -0.2%)
@@ -106,12 +109,12 @@ _GATE_SPEC = (
     ("STEMX", int, "1"),   # r3 probe: small text win, principled for
     #                        English (fxcm stemmer class)
     ("CTX2", int, "1"),    # r3 probe: text -0.15%
-    ("CTX3", int, "0"),    # 8 more width contexts (post-cliff-fix lever)
+    ("CTX3", int, "1"),    # 8 more width contexts; r4 W1/W8: small win
     ("BANK_CH", int, "1"),
     ("RUNX", int, "1"),
-    ("RUNX_N", int, "16"),   # how many bank contexts carry run channels
+    ("RUNX_N", int, "64"),   # run channels across the whole bank (r4 W2)
     ("MIX_DYN2", int, "1"),
-    ("MIX2X", int, "0"),   # 5 extra context-gated layer-2 mixers
+    ("MIX2X", int, "1"),   # 5 extra context-gated layer-2 mixers (r4 W6)
     ("MIX_KIND", int, "0"),
     ("MIX_AUX", int, "0"),
     ("MIX_LR", float, "4e-3"),
@@ -484,9 +487,9 @@ def _derive(env):
     # to the reference's -O3-portable contract (README:16).  The fast
     # default profile keeps f32 mixing and is portable only across runs
     # of the same executable (like the reference's -Ofast).  Portable
-    # mode requires the float-internal LSTM off (lstm_hidden=0) and
-    # VMATCH=LMS=0; DMC is integer end-to-end (models/dmc.py
-    # predict_tree_p12) and stays on.
+    # mode requires VMATCH=LMS=0; DMC is integer end-to-end
+    # (models/dmc.py predict_tree_p12) and stays on, and since round 4
+    # the LSTM stays on too, as the integer re-spec (mixer/ilstm.py).
     PORT = gi("PORT")
     if PORT and (VMATCH or LMS or MIX_TAU or MIX_BOOST):
         raise FormatError("PORT=1 requires VMATCH=0, LMS=0, MIX_TAU=0 "
@@ -598,7 +601,14 @@ class EngineConfig:
 # ------------------------------------------------------------------- state
 
 
-def _lstm_cfg(cfg: EngineConfig) -> LstmConfig:
+def _lstm_cfg(cfg: EngineConfig):
+    """LSTM config for the active profile.  PORT uses the integer
+    re-spec (mixer/ilstm.py: one layer, coupled-gate bounded cell,
+    integer BPTT) so portable archives keep a recurrent byte model --
+    round 3 amputated it (lstm_hidden=0, ~+2.8% bpb on text)."""
+    if PORT:
+        return ILstmConfig(hidden=cfg.lstm_hidden,
+                           horizon=cfg.lstm_horizon)
     return LstmConfig(hidden=cfg.lstm_hidden, layers=cfg.lstm_layers,
                       horizon=cfg.lstm_horizon)
 
@@ -648,11 +658,6 @@ def init_shared(cfg: EngineConfig):
     (same keys): d0_p/sbank_p/match_conf/ppm_see/apm hold p12 int32,
     mixer weights hold 16-bit-fraction fixed point int32, biases hold
     st256 int32.  All other tables are integer in both profiles."""
-    if PORT and cfg.lstm_hidden:
-        raise FormatError(
-            "PORT=1 requires lstm_hidden=0 (the LSTM's internals are "
-            "float; the portable profile excludes it.  DMC runs fully "
-            "integer and stays on)")
     sh = {
         # bank slot bits: [0..5] cnt | [6..17] p12 | [18..30] st13 where
         # st13 = round(stretch*256)+4096 -- the stretch is precomputed at
@@ -785,7 +790,8 @@ def init_shared(cfg: EngineConfig):
     if SBANK_ADAPT:
         sh["sbank_c"] = jnp.zeros((N_SBANK, 256), dtype=jnp.float32)
     if cfg.lstm_hidden:
-        sh["lstm"] = init_lstm_shared(_lstm_cfg(cfg))
+        sh["lstm"] = (init_ilstm_shared if PORT else
+                      init_lstm_shared)(_lstm_cfg(cfg))
     return sh
 
 
@@ -828,7 +834,8 @@ def init_perblock(cfg: EngineConfig):
         "x86": init_x86_state(),
     }
     if cfg.lstm_hidden:
-        pb["lstm"] = init_lstm_perblock(_lstm_cfg(cfg))
+        pb["lstm"] = (init_ilstm_perblock if PORT else
+                      init_lstm_perblock)(_lstm_cfg(cfg))
     if cfg.dmc_nodes:
         pb.update(dmc.init_dmc_perblock(cfg.dmc_nodes))
     return pb
@@ -1519,7 +1526,15 @@ def _predict_tree_b(cfg, sh, pb, t):
         alive2 = exp_bit2 = lenb2 = conf2 = None
         m2 = []
 
-    if cfg.lstm_hidden:
+    if cfg.lstm_hidden and PORT:
+        qcum = pb["lstm"]["qcum"]                            # (B,257) i32
+        tot_lo = qcum[:, jnp.asarray(_LO)]
+        tot_hi = qcum[:, jnp.asarray(_HI)]
+        mid = qcum[:, jnp.asarray(_MID)]
+        p12l = jnp.clip(((tot_hi - mid) << 12)
+                        // jnp.maximum(tot_hi - tot_lo, 1), 1, 4095)
+        st_lstm = (stretch13_from_p12(p12l) - 4096)[:, None, :]
+    elif cfg.lstm_hidden:
         qcum = pb["lstm"]["qcum"]                            # (B, 257)
         tot_lo = qcum[:, jnp.asarray(_LO)]
         tot_hi = qcum[:, jnp.asarray(_HI)]
@@ -2758,7 +2773,9 @@ def make_byte_step(cfg: EngineConfig):
         ind_key_new = ind_keys(pb["ctx"])                    # (B, NI)
         pb["ind_val"] = sh["aux_tbl"][ind_off[None, :] + ind_key_new]
         if cfg.lstm_hidden:
-            sh["lstm"], pb["lstm"] = lstm_shared_byte_update(
+            sh["lstm"], pb["lstm"] = (
+                ilstm_shared_byte_update if PORT
+                else lstm_shared_byte_update)(
                 _lstm_cfg(cfg),
                 sh["lstm"], pb["lstm"], byte)
         return sh, pb, cd, ys

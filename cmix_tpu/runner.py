@@ -556,10 +556,10 @@ def main(argv=None):
     ap.add_argument("--portable", action="store_true",
                     help="portable profile: integer model math, archives "
                     "decode bit-exactly on any platform/executable "
-                    "(proven TPU-encode -> CPU-decode).  The LSTM is "
-                    "excluded; measured cost ~+2.8%% bpb on text "
-                    "(0.743 vs 0.723, work/RESULTS.md r3) -- the "
-                    "reference's -O3 vs -Ofast tradeoff (README:16)")
+                    "(proven TPU-encode -> CPU-decode) -- the "
+                    "reference's -O3 vs -Ofast tradeoff (README:16).  "
+                    "Since round 4 this keeps a recurrent byte model: "
+                    "the integer LSTM re-spec (mixer/ilstm.py)")
     args = ap.parse_args(argv)
     if args.dictionary == "auto":
         args.dictionary = os.path.join(
@@ -575,8 +575,7 @@ def main(argv=None):
     t0 = time.time()
     if args.mode in ("c", "t"):
         cfg = EngineConfig(block_size=args.block_size, tbits=args.tbits,
-                           lstm_hidden=0 if args.portable else args.lstm,
-                           dmc_nodes=args.dmc)
+                           lstm_hidden=args.lstm, dmc_nodes=args.dmc)
         with trace(args.profile):
             out = compress(data, cfg, max_batch=args.max_batch,
                            dictionary=args.dictionary, meter=meter,

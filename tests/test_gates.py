@@ -10,6 +10,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 
 @pytest.mark.slow
 def test_all_gates_roundtrip(tmp_path):
