@@ -131,6 +131,8 @@ _GATE_SPEC = (
     ("CNT_CAP", int, "60"),
     ("DMC_LEVELS", int, "8"),
     ("PORT", int, "0"),
+    ("ILSTM_LRX", int, "4"),   # integer-LSTM LR scale, /4 (PORT only)
+
 )
 GATES = {}          # live normalized gate values (str -> str)
 
@@ -607,8 +609,11 @@ def _lstm_cfg(cfg: EngineConfig):
     integer BPTT) so portable archives keep a recurrent byte model --
     round 3 amputated it (lstm_hidden=0, ~+2.8% bpb on text)."""
     if PORT:
+        x = int(GATES["ILSTM_LRX"])
         return ILstmConfig(hidden=cfg.lstm_hidden,
-                           horizon=cfg.lstm_horizon)
+                           horizon=cfg.lstm_horizon,
+                           lr_wx=192 * x // 4, lr_wh=96 * x // 4,
+                           lr_wo=96 * x // 4, lr_b=48 * x // 4)
     return LstmConfig(hidden=cfg.lstm_hidden, layers=cfg.lstm_layers,
                       horizon=cfg.lstm_horizon)
 
