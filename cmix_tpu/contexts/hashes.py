@@ -14,6 +14,8 @@ import numpy as np
 import jax.numpy as jnp
 
 MAX_ORDER = 24          # rolling hashes maintained for orders 1..MAX_ORDER
+WRTW = 0                # WRT codeword-aware word tracking; set by
+#                         engine._derive from the format gate (traced in)
 PHI32 = np.uint32(0x9E3779B1)
 PRIME2 = np.uint32(0x85EBCA77)
 
@@ -165,6 +167,10 @@ def init_ctx_state():
         # line (vertical match model state; stops growing at the first
         # mismatch, resets on newline)
         "lml": jnp.zeros((), dtype=jnp.uint32),
+        # WRT codeword tracker (WRTW gate): rolling codeword-byte hash
+        # and remaining continuation bytes of the current codeword
+        "cwacc": jnp.zeros((), dtype=jnp.uint32),
+        "cwrem": jnp.zeros((), dtype=jnp.uint32),
     }
 
 
@@ -310,6 +316,35 @@ def update_ctx_state_batched(cs, bytes_b):
     last_stem = jnp.where(ended, stem, cs["last_stem"])
     last_word = jnp.where(ended, cs["word"], cs["last_word"])
     last_word2 = jnp.where(ended, cs["last_word"], cs["last_word2"])
+    if WRTW:
+        # WRT codeword awareness (the in-model codeword decode of fxcm,
+        # src/models/fxcmv1.cpp:353-438,3780-3795, re-specified): on a
+        # WRT-transformed stream every 1/2/3-byte codeword (lead 0x80-
+        # 0xBF / 0xC0-0xEF / 0xF0-0xFF, preprocess/wrt.py:114-120) IS a
+        # dictionary word, and hashing its bytes is a stable word
+        # identity (codeword<->word is bijective) -- so completed
+        # codewords feed the word n-gram/stem contexts that pure letter
+        # tracking loses on transformed text.  Routed on by the runner
+        # exactly when the archive applied the WRT transform.
+        lead = (cs["cwrem"] == 0) & (b >= jnp.uint32(0x80))
+        rem_new = jnp.where(
+            lead,
+            jnp.where(b >= jnp.uint32(0xF0), jnp.uint32(2),
+                      jnp.where(b >= jnp.uint32(0xC0), jnp.uint32(1),
+                                jnp.uint32(0))),
+            jnp.maximum(cs["cwrem"], jnp.uint32(1)) - jnp.uint32(1))
+        in_cw = lead | (cs["cwrem"] > 0)
+        cwacc = jnp.where(
+            lead, mix32(b, jnp.uint32(0x051ED270)),
+            jnp.where(cs["cwrem"] > 0, mix32(cs["cwacc"], b),
+                      cs["cwacc"]))
+        cw_done = in_cw & (rem_new == 0)
+        cwrem = jnp.where(in_cw, rem_new, jnp.uint32(0))
+        last_word2 = jnp.where(cw_done, last_word, last_word2)
+        last_word = jnp.where(cw_done, cwacc, last_word)
+        last_stem = jnp.where(cw_done, cwacc, last_stem)
+    else:
+        cwacc, cwrem = cs["cwacc"], cs["cwrem"]
     wordlen = jnp.where(is_letter == 1,
                         jnp.minimum(cs["wordlen"] + 1, jnp.uint32(63)),
                         jnp.zeros_like(cs["wordlen"]))
@@ -384,6 +419,7 @@ def update_ctx_state_batched(cs, bytes_b):
             "brk_stack": stack, "brk_depth": depth,
             "bytecnt": cs["bytecnt"] + 1,
             "lbuf": lbuf, "plbuf": plbuf, "plen": plen, "lml": lml,
+            "cwacc": cwacc, "cwrem": cwrem,
             "cellidx": cellidx, "cellpos": cellpos, "cellbuf": cellbuf,
             "pcellbuf": pcellbuf, "listdepth": listdepth,
             "listchar": listchar, "lsflag": lsflag}

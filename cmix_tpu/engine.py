@@ -108,6 +108,10 @@ _GATE_SPEC = (
     #                        elsewhere) and records it in the gate blob
     ("STEMX", int, "1"),   # r3 probe: small text win, principled for
     #                        English (fxcm stemmer class)
+    ("WRTW", int, "0"),    # codeword-aware words; content-routed: the
+    #                        runner turns it on when the archive applied
+    #                        the WRT transform (fxcm's in-model codeword
+    #                        decode, fxcmv1.cpp:353-438)
     ("CTX2", int, "1"),    # r3 probe: text -0.15%
     ("CTX3", int, "1"),    # 8 more width contexts; r4 W1/W8: small win
     ("BANK_CH", int, "1"),
@@ -250,6 +254,8 @@ def _derive(env):
     # with the current word prefix) -- the Porter2-stemmer capability
     # of fxcm/paq8 text models (fxcmv1.cpp:2662-3209, paq8.cpp:1530-2998)
     STEMX = gi("STEMX")
+    import cmix_tpu.contexts.hashes as _hashes_mod
+    _hashes_mod.WRTW = gi("WRTW")
     # CTX2: 8 further text/structure contexts toward the reference's
     # layer-0 width (paq8 TextModel's 33 contexts, paq8.cpp:3070-3185;
     # fxcm sentence/word streams, fxcmv1.cpp:2157-2453): word trigram,

@@ -233,9 +233,12 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         e[0] in _STRIDE_SEGS for e in seg_meta)) else 0
     want_x86 = 2 if (seg_meta is not None and any(
         e[0] == SEG_EXE for e in seg_meta)) else 0
+    # - WRTW: codeword-aware word tracking -- meaningful exactly when
+    #   the payload is WRT-transformed (codewords replace words there).
+    want_wrtw = 1 if (flags & _FLAG_WRT) and d is not None else 0
     prev_gates = engine.gates_blob()
     if engine.update_gates({"JPEGX": want_jpegx, "GRID2": want_grid2,
-                            "X86X": want_x86}):
+                            "X86X": want_x86, "WRTW": want_wrtw}):
         _TRANSCODER_CACHE.clear()
     try:
         if d is not None:
