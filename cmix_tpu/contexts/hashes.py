@@ -326,20 +326,28 @@ def update_ctx_state_batched(cs, bytes_b):
         # codewords feed the word n-gram/stem contexts that pure letter
         # tracking loses on transformed text.  Routed on by the runner
         # exactly when the archive applied the WRT transform.
-        lead = (cs["cwrem"] == 0) & (b >= jnp.uint32(0x80))
+        # cwrem also carries an ESC-pending flag (value 15): WRT escapes
+        # literal bytes >= 0x80 (and ESC/CAP/UPR themselves) as
+        # ESC(0x04), byte -- the escaped byte is NOT a codeword lead and
+        # must not start (or be swallowed into) codeword tracking.
+        esc_pend = cs["cwrem"] == jnp.uint32(15)
+        track = (cs["cwrem"] == 0) & ~esc_pend
+        is_esc = track & (b == jnp.uint32(0x04))
+        lead = track & (b >= jnp.uint32(0x80)) & ~is_esc
         rem_new = jnp.where(
             lead,
             jnp.where(b >= jnp.uint32(0xF0), jnp.uint32(2),
                       jnp.where(b >= jnp.uint32(0xC0), jnp.uint32(1),
                                 jnp.uint32(0))),
             jnp.maximum(cs["cwrem"], jnp.uint32(1)) - jnp.uint32(1))
-        in_cw = lead | (cs["cwrem"] > 0)
+        in_cw = lead | ((cs["cwrem"] > 0) & ~esc_pend)
         cwacc = jnp.where(
             lead, mix32(b, jnp.uint32(0x051ED270)),
-            jnp.where(cs["cwrem"] > 0, mix32(cs["cwacc"], b),
-                      cs["cwacc"]))
+            jnp.where((cs["cwrem"] > 0) & ~esc_pend,
+                      mix32(cs["cwacc"], b), cs["cwacc"]))
         cw_done = in_cw & (rem_new == 0)
-        cwrem = jnp.where(in_cw, rem_new, jnp.uint32(0))
+        cwrem = jnp.where(is_esc, jnp.uint32(15),
+                          jnp.where(in_cw, rem_new, jnp.uint32(0)))
         last_word2 = jnp.where(cw_done, last_word, last_word2)
         last_word = jnp.where(cw_done, cwacc, last_word)
         last_stem = jnp.where(cw_done, cwacc, last_stem)

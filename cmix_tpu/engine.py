@@ -1164,22 +1164,33 @@ def _record_ctx_vals(cfg, pb, t):
         # structure the reference models explicitly in its huffman-
         # state contexts, paq8.cpp:5871-6589); (b) the north block's
         # k-1 coefficient + north-east same-k -- 2D magnitude texture.
-        pk3 = pb["hist"][bar, jnp.mod(t - 3 * clc, n)].astype(jnp.uint32)
-        pk4 = pb["hist"][bar, jnp.mod(t - 4 * clc, n)].astype(jnp.uint32)
+        # pk3/pk4/nk1/ne follow the same sentinel discipline as pk1/pk2:
+        # invalid positions collapse to one 0x1FF row instead of hashing
+        # whatever bytes sit at the wrapped history offsets
+        v_k3 = (kq >= 3) & valid
+        v_k4 = (kq >= 4) & valid
+        pk3 = jnp.where(
+            v_k3, pb["hist"][bar, jnp.mod(t - 3 * clc, n)
+                             ].astype(jnp.uint32), jnp.uint32(0x1FF))
+        pk4 = jnp.where(
+            v_k4, pb["hist"][bar, jnp.mod(t - 4 * clc, n)
+                             ].astype(jnp.uint32), jnp.uint32(0x1FF))
         z4 = ((pk1 == 128).astype(jnp.uint32)
               | ((pk2 == 128).astype(jnp.uint32) << jnp.uint32(1))
-              | (jnp.where(kq >= 3, (pk3 == 128).astype(jnp.uint32), 2)
+              | (jnp.where(v_k3, (pk3 == 128).astype(jnp.uint32), 2)
                  << jnp.uint32(2))
-              | (jnp.where(kq >= 4, (pk4 == 128).astype(jnp.uint32), 2)
+              | (jnp.where(v_k4, (pk4 == 128).astype(jnp.uint32), 2)
                  << jnp.uint32(4)))
         vals.append(mix32(z4 | (_magq(pk1 & jnp.uint32(0xFF))
                                 << jnp.uint32(6)),
                           ck + jnp.uint32(0x165667B1)))      # zero-tail
         stride_j = jnp.maximum(rl, 1)
-        nk1 = pb["hist"][bar, jnp.mod(t - clc - stride_j, n)
-                         ].astype(jnp.uint32)                # N of k-1
-        ne = pb["hist"][bar, jnp.mod(t - stride_j + 1, n)
-                        ].astype(jnp.uint32)                 # NE same k
+        nk1 = jnp.where(
+            v_k1, pb["hist"][bar, jnp.mod(t - clc - stride_j, n)
+                             ].astype(jnp.uint32), jnp.uint32(0x1FF))
+        ne = jnp.where(
+            valid, pb["hist"][bar, jnp.mod(t - stride_j + 1, n)
+                              ].astype(jnp.uint32), jnp.uint32(0x1FF))
         vals.append(mix32(_magq(nk1) | (_magq(ne) << jnp.uint32(4))
                           | (_magq(above) << U8)
                           | (_magq(lfj) << jnp.uint32(12)),

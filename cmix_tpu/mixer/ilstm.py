@@ -67,17 +67,24 @@ def init_ilstm_shared(cfg: ILstmConfig, seed: int = 0x5A17):
     reference predictor.cpp:26)."""
     h = cfg.hidden
 
+    ctr = [0]
+
     def rnd(n, scale):
-        # xorshift32 stream, reproducible everywhere, no float anywhere
-        out = np.empty(n, dtype=np.int64)
-        s = np.int64(seed | 1)
-        for i in range(n):
-            s ^= (s << 13) & 0xFFFFFFFF
-            s ^= s >> 17
-            s ^= (s << 5) & 0xFFFFFFFF
-            s &= 0xFFFFFFFF
-            out[i] = int(s)
-        return (((out % (2 * scale + 1)) - scale)).astype(np.int32)
+        # counter-based splitmix32: each value is an independent integer
+        # hash of (seed, index) -- fully vectorized (the sequential
+        # xorshift chain cost seconds of scalar Python per coding
+        # group), deterministic on every backend, no float anywhere
+        i = np.arange(ctr[0], ctr[0] + n, dtype=np.uint64)
+        ctr[0] += n
+        z = (np.uint64(seed) + i * np.uint64(0x9E3779B97F4A7C15)) \
+            & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z &= np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z &= np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(31))) & np.uint64(0xFFFFFFFF)
+        return ((z % np.uint64(2 * scale + 1)).astype(np.int64)
+                - scale).astype(np.int32)
 
     return {
         "wx": jnp.asarray(rnd(256 * 3 * h, 256).reshape(256, 3 * h)),
@@ -213,7 +220,10 @@ def ilstm_shared_byte_update(cfg: ILstmConfig, sh, pb, bytes_b):
         # (h>>4)*(dpre>>4): <= 2^18, x256 <= 2^26 -- exact
         gwh = gwh + jnp.einsum("bh,bk->hk", h_prev >> 4, dpre >> 4)
         gb = gb + jnp.sum(dpre, axis=0)
-        dh = _dot16("bk,hk->bh", dpre, sh["wh"])
+        # backprop through Wh sums over k=3H=768 terms: clip the operand
+        # to +-2047 so the hi-split partial sum stays under 2^31
+        # (2047 * 2^10 * 768 < 2^31) -- _dot16's exactness precondition
+        dh = _dot16("bk,hk->bh", jnp.clip(dpre, -2047, 2047), sh["wh"])
         dc = (dc * f) >> 12
 
     # ---- mean-over-batch SGD (batch-invariant semantics, STAT_NORM

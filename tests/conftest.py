@@ -19,8 +19,22 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def pytest_configure(config):
-    # Suite budget (VERDICT r3 #10): `pytest -m "not slow"` completes in
+    # Suite budget (VERDICT r3 #10): the default run completes in
     # <10 min on this 2-vCPU box; the heavy roundtrip/scale matrix runs
     # with RUN_SLOW=1 (full format coverage, ~25+ min).
     config.addinivalue_line(
         "markers", "slow: heavy roundtrip/scale cases (see RUN_SLOW)")
+
+
+def pytest_collection_modifyitems(config, items):
+    # slow cases are skipped unless RUN_SLOW=1 (or an explicit -m
+    # selection asks for them), so a plain `pytest tests/` IS the fast
+    # suite -- the documented behavior, not a convention the caller
+    # must remember
+    import pytest as _pytest
+    if os.environ.get("RUN_SLOW") or config.getoption("-m"):
+        return
+    skip = _pytest.mark.skip(reason="slow; set RUN_SLOW=1 to enable")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

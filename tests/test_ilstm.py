@@ -48,12 +48,15 @@ def test_weights_bounded():
 @pytest.mark.slow
 def test_port_lstm_roundtrip():
     """PORT archives with the integer LSTM on decode bit-exactly."""
-    from cmix_tpu import engine
+    from cmix_tpu import engine, runner
     from cmix_tpu.engine import EngineConfig
     from cmix_tpu.runner import compress, decompress
     prev = engine.gates_blob()
     try:
-        engine.update_gates({"PORT": 1})
+        if engine.update_gates({"PORT": 1}):
+            # the transcoder cache is keyed by EngineConfig only; gates
+            # are baked in at trace time, so a gate flip must drop it
+            runner._TRANSCODER_CACHE.clear()
         with open("/root/reference/COPYING", "rb") as f:
             data = f.read()[:5000]
         cfg = EngineConfig(block_size=2048, tbits=12, mbits=12, ibits=10,
@@ -61,4 +64,5 @@ def test_port_lstm_roundtrip():
         arch = compress(data, cfg, max_batch=2)
         assert decompress(arch, max_batch=2) == data
     finally:
-        engine.apply_gates(prev)
+        if engine.apply_gates(prev):
+            runner._TRANSCODER_CACHE.clear()

@@ -25,8 +25,7 @@ except Exception:
 
 B = int(os.environ.get("B", 256))
 NM = int(os.environ.get("NM", 64))
-R = 1 << int(os.environ.get("TB", 18)) - 8 if False else \
-    1 << (int(os.environ.get("TB", 18)) - 8)
+R = 1 << (int(os.environ.get("TB", 18)) - 8)
 
 
 def timeit(f, *args, n=20):
