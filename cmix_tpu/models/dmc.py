@@ -123,12 +123,15 @@ def _p12_of_units(c0u, c1u):
 # ordered -- pure integer data movement, so the kernel is bit-identical
 # to the XLA path and needs no format gate (CPU tests take the XLA
 # path; archives agree).
-_DMC_PALLAS = os.environ.get("DMC_PALLAS", "0") != "0"
+_DMC_PALLAS = os.environ.get("DMC_PALLAS", "1") != "0"
 # on-chip microbench (work/pallas_bench.py): walk 1.50 ms (XLA) ->
-# 1.13 ms (kernel) at B=256; bit-identical either way.  OPT-IN for
-# now: with the kernel in the full scan, the SECOND transcode of a
-# process hits "TPU backend error (Internal)" on this runtime
-# (repro: work/r3_adopt.log); stability wins until that is diagnosed
+# 1.13 ms (kernel) at B=256; bit-identical either way.  DEFAULT-ON
+# since r5: the r3 instability ("TPU backend error (Internal)" on the
+# second transcode of a process) no longer reproduces on the current
+# runtime -- work/pallas_repro.py passes repeated calls AND fresh
+# recompiles, and work/pallas_engine_check.py runs two full
+# pallas-in-scan transcodes in one process cleanly.  Opt-out with
+# DMC_PALLAS=0 if a runtime regression reappears.
 
 
 def _make_walk_kernel(group):

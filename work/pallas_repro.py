@@ -39,7 +39,6 @@ def make_fn(B, N):
                                            jnp.uint32),
         )(x.reshape(B, N // 1024, 8, 128)).reshape(B, N)
 
-    @jax.jit
     def scanned(tbl, steps):
         def body(carry, _):
             t = walk(carry)
@@ -47,7 +46,7 @@ def make_fn(B, N):
         out, ys = jax.lax.scan(body, tbl, None, length=steps)
         return out, ys
 
-    return scanned
+    return jax.jit(scanned, static_argnums=1)
 
 
 def main():
@@ -65,7 +64,25 @@ def main():
             print(f"call {call}: FAIL {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
             return
-    print("PASS: pallas-in-scan stable across repeated calls", flush=True)
+    # Phase 2: the r3 failure mode was the SECOND COMPILE of a
+    # pallas-in-scan program in one process (second transcode).  Force
+    # fresh compiles with distinct shapes.
+    for i, (B2, N2) in enumerate([(128, 16384), (64, 32768), (256, 8192)],
+                                 start=1):
+        fn2 = make_fn(B2, N2)
+        x = jnp.zeros((B2, N2), jnp.uint32)
+        t0 = time.time()
+        try:
+            out, ys = fn2(x, 32)
+            np.asarray(ys)
+            print(f"recompile {i} ({B2}x{N2}): ok "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"recompile {i} ({B2}x{N2}): FAIL "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            return
+    print("PASS: pallas-in-scan stable across repeated calls AND "
+          "recompiles", flush=True)
 
 
 main()
