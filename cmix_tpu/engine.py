@@ -528,6 +528,7 @@ SEE_TOT_B = 8
 SEE_RATE = 0.02
 ST_CLAMP = 12.0            # stretch clamp: p in [6e-6, 1-6e-6]
 _SLOT_INIT = (4096 << 18) | (2048 << 6)   # p=0.5, st=0, cnt=0
+_HDR_INIT = 256 << 16                     # row header: ck=virgin, run=0
 APM_RATE = 0.02            # SSE node update rate
 POS_BITS = 24              # match table: low bits position, high bits block
 PRETRAIN_SEG = 4096        # fixed pretrain segment length (format-defining:
@@ -638,28 +639,48 @@ def _bank_chunks():
             for lo in range(0, N_BANK, BANK_SPLIT)]
 
 
-def _bank_gather(sh, rowi, ck=False):
-    """bank[m, rowi[:, m]] across chunks -> (B, N_BANK, 256) uint32;
-    ck=True reads the int32 check-byte table instead -> (B, N_BANK)."""
+def _take_cols(tbl, col):
+    """``tbl[m, col[:, m]]`` (or ``tbl[col]`` for 1-D tables) via a
+    one-hot select-and-reduce.
+
+    XLA lowers small dynamic gathers to a scalar-core loop (~12 ns per
+    element; the r5 census measured the (NM, 32) confidence-table
+    gathers at ~1.5 GB/s).  A single-nonzero masked reduction is exact
+    in every dtype (all other summands are literal zeros) and runs
+    dense on the VPU.  Only sensible for small minor dims (<= ~64)."""
+    c = tbl.shape[-1]
+    if tbl.ndim == 1:
+        oh = col[..., None] == jnp.arange(c)                 # (B, C)
+        return jnp.where(oh, tbl[None], 0).sum(axis=-1, dtype=tbl.dtype)
+    oh = col[:, :, None] == jnp.arange(c)[None, None, :]     # (B, M, C)
+    return jnp.where(oh, tbl[None], 0).sum(axis=-1, dtype=tbl.dtype)
+
+
+def _bank_gather(sh, rowi):
+    """bank[m, rowi[:, m]] across chunks -> (B, N_BANK, 256) uint32.
+
+    Slot 0 of every row is the ROW HEADER, not a tree node (node ids
+    are 1..255 and the update path masks node 0 out): bits [16..24]
+    hold the row checksum (256 = virgin), bits [0..15] the run channel
+    ``(last_byte << 8) | run_count``.  Packing the checksum and run
+    data into the row lets them ride the wide row gather/scatter
+    (~350 GB/s) instead of dedicated (NM, R) scalar-table gathers,
+    which the r5 census measured at ~1.5 GB/s (scalar-core loops,
+    ~0.7 ms/step combined)."""
     outs = []
     for k, lo, hi in _bank_chunks():
-        tbl = sh["bank_ck" + k[4:]] if ck else sh[k]
         m = jnp.arange(hi - lo)
-        outs.append(tbl[m[None, :], rowi[:, lo:hi]])
+        outs.append(sh[k][m[None, :], rowi[:, lo:hi]])
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
-def _bank_scatter(sh, rowi, newrows, ck_vals=None):
+def _bank_scatter(sh, rowi, newrows):
     """Per-chunk row scatter (mode='drop' also swallows the PORT
     claim-window's out-of-range sentinel rows)."""
     for k, lo, hi in _bank_chunks():
         m = jnp.arange(hi - lo)
         sh[k] = sh[k].at[m[None, :], rowi[:, lo:hi]].set(
             newrows[:, lo:hi], mode="drop")
-        if ck_vals is not None:
-            ckk = "bank_ck" + k[4:]
-            sh[ckk] = sh[ckk].at[m[None, :], rowi[:, lo:hi]].set(
-                ck_vals[:, lo:hi], mode="drop")
 
 
 def init_shared(cfg: EngineConfig):
@@ -783,21 +804,19 @@ def init_shared(cfg: EngineConfig):
             jnp.full((N_MATCH, 32), 2253, dtype=jnp.int32) if PORT
             else jnp.full((N_MATCH, 32), 0.55, dtype=jnp.float32))
     if RUNX:
-        # run channel per hashed row: (last byte << 8) | run count
-        sh["runx"] = jnp.zeros((RUNX_N, cfg.rows), dtype=jnp.uint32)
         sh["runx_conf"] = (
             jnp.full((RUNX_N, 32), 2253, dtype=jnp.int32) if PORT
             else jnp.full((RUNX_N, 32), 0.55, dtype=jnp.float32))
         # 32 buckets to share the match-confidence update helpers
-        # (run buckets use only 0..7)
+        # (run buckets use only 0..7).  The run DATA itself lives in
+        # row-header slot 0 of the bank rows (see _bank_gather).
+    # bank rows: slot 0 = header (ck 256 = virgin, run channel 0),
+    # slots 1..255 = tree-node slots at _SLOT_INIT
+    row0 = np.full(256, _SLOT_INIT, dtype=np.uint32)
+    row0[0] = _HDR_INIT
     for k, lo, hi in _bank_chunks():
-        sh[k] = jnp.full((hi - lo, cfg.rows, 256), _SLOT_INIT,
-                         dtype=jnp.uint32)
-        if BANK_CK:
-            # per-row check bytes; 256 = virgin (matches no context's
-            # check, so untouched rows read as fresh)
-            sh["bank_ck" + k[4:]] = jnp.full((hi - lo, cfg.rows), 256,
-                                             dtype=jnp.int32)
+        sh[k] = jnp.tile(jnp.asarray(row0)[None, None],
+                         (hi - lo, cfg.rows, 1))
     if SBANK_ADAPT:
         sh["sbank_c"] = jnp.zeros((N_SBANK, 256), dtype=jnp.float32)
     if cfg.lstm_hidden:
@@ -1459,24 +1478,28 @@ def _predict_tree_b(cfg, sh, pb, t):
         alt = rowi ^ 1
         rows_a = _bank_gather(sh, rowi)                      # (B, NM, 256)
         rows_b = _bank_gather(sh, alt)
-        ok_a = _bank_gather(sh, rowi, ck=True) == ck_exp
-        ok_b = _bank_gather(sh, alt, ck=True) == ck_exp
+        ok_a = (rows_a[:, :, 0] >> jnp.uint32(16)
+                ).astype(jnp.int32) == ck_exp
+        ok_b = (rows_b[:, :, 0] >> jnp.uint32(16)
+                ).astype(jnp.int32) == ck_exp
         mat_a = rows_a[:, :, 1] & jnp.uint32(0x3F)
         mat_b = rows_b[:, :, 1] & jnp.uint32(0x3F)
         pick_b = (~ok_a) & (ok_b | (mat_b <= mat_a))
         rowi = jnp.where(pick_b, alt, rowi)
         rows = jnp.where(pick_b[:, :, None], rows_b, rows_a)
+        hdr = rows[:, :, 0]          # chosen way's header, pre-reset
         rows = jnp.where((ok_a | ok_b)[:, :, None], rows,
                          jnp.uint32(_SLOT_INIT))
     else:
         rows = _bank_gather(sh, rowi)                        # (B, NM, 256)
+        hdr = rows[:, :, 0]
         if BANK_CK:
             # row checksum from the hash bits below the row index: a
             # mismatched row belongs to a different context -- read it
             # as fresh and let the update replace it (branchless
             # equivalent of direct-hash.cpp:31-48 probing/reset)
             ck_exp = (bases & jnp.uint32(0xFF)).astype(jnp.int32)
-            ck_ok = _bank_gather(sh, rowi, ck=True) == ck_exp
+            ck_ok = (hdr >> jnp.uint32(16)).astype(jnp.int32) == ck_exp
             rows = jnp.where(ck_ok[:, :, None], rows,
                              jnp.uint32(_SLOT_INIT))
     if PORT:                                                 # st256 int32
@@ -1505,8 +1528,8 @@ def _predict_tree_b(cfg, sh, pb, t):
     exp_byte = pb["hist"][
         pb["mp_blk"], jnp.clip(pb["mp_pos"], 0, cfg.block_size - 1)
     ].astype(jnp.int32)                                      # (B, NM_M)
-    lenb = jnp.minimum(pb["match_len"], 31)                  # (B, 2)
-    conf = sh["match_conf"][jnp.arange(N_MATCH)[None, :], lenb]
+    lenb = jnp.minimum(pb["match_len"], 31)                  # (B, NM_M)
+    conf = _take_cols(sh["match_conf"], lenb)
     exp_pref = (1 << level)[None, None, :] + (
         exp_byte[:, :, None] >> (8 - level)[None, None, :])  # (B, 2, 256)
     alive = (node[None, None, :] == exp_pref) & \
@@ -1527,7 +1550,7 @@ def _predict_tree_b(cfg, sh, pb, t):
             pb["mp2_blk"], jnp.clip(pb["mp2_pos"], 0, cfg.block_size - 1)
         ].astype(jnp.int32)
         lenb2 = jnp.minimum(pb["match2_len"], 31)
-        conf2 = sh["match2_conf"][jnp.arange(N_MATCH)[None, :], lenb2]
+        conf2 = _take_cols(sh["match2_conf"], lenb2)
         exp_pref2 = (1 << level)[None, None, :] + (
             exp_byte2[:, :, None] >> (8 - level)[None, None, :])
         alive2 = (node[None, None, :] == exp_pref2) & \
@@ -1625,7 +1648,7 @@ def _predict_tree_b(cfg, sh, pb, t):
         pbyte = jnp.clip(jnp.round(predf * 128.0 + 128.0),
                          0, 255).astype(jnp.int32)           # (B,)
         errb = jnp.clip((pb["lms_err"] * 32.0), 0, 15).astype(jnp.int32)
-        lconf = sh["lms_conf"][errb]                         # (B,)
+        lconf = _take_cols(sh["lms_conf"], errb)             # (B,)
         lpref = (1 << level)[None, :] + (pbyte[:, None] >> (8 - level))
         l_on = node[None, :] == lpref
         l_bit = (pbyte[:, None] >> (7 - level)[None, :]) & 1
@@ -1645,7 +1668,7 @@ def _predict_tree_b(cfg, sh, pb, t):
         # vertical match channel: expected byte from the line above,
         # confidence learned per matched-prefix length
         vlml = jnp.minimum(cs["lml"], jnp.uint32(31)).astype(jnp.int32)
-        vconf = sh["vmatch_conf"][vlml]                      # (B,)
+        vconf = _take_cols(sh["vmatch_conf"], vlml)          # (B,)
         vexp_i = jnp.where(v_alive, above_l,
                            jnp.uint32(0)).astype(jnp.int32)  # (B,)
         vpref = (1 << level)[None, :] + (vexp_i[:, None] >> (8 - level))
@@ -1662,12 +1685,11 @@ def _predict_tree_b(cfg, sh, pb, t):
         # run channels (RunContextMap class, see _derive): the byte
         # last seen under each of the first RUNX_N bank contexts votes
         # its tree path with run-length-bucketed learned confidence
-        r_ar = jnp.arange(RUNX_N)
-        rx_rows = sh["runx"][r_ar[None, :], rowi[:, :RUNX_N]]  # (B, RN)
+        rx_rows = hdr[:, :RUNX_N] & jnp.uint32(0xFFFF)        # (B, RN)
         rx_byte = ((rx_rows >> U8) & jnp.uint32(0xFF)).astype(jnp.int32)
         rx_cnt = (rx_rows & jnp.uint32(0xFF)).astype(jnp.int32)
         rx_b = jnp.minimum(_floor_log2_i(rx_cnt + 1), 7)
-        rx_conf = sh["runx_conf"][r_ar[None, :], rx_b]        # (B, RN)
+        rx_conf = _take_cols(sh["runx_conf"], rx_b)           # (B, RN)
         rx_pref = (1 << level)[None, None, :] + (
             rx_byte[:, :, None] >> (8 - level)[None, None, :])
         rx_alive = (node[None, None, :] == rx_pref) & \
@@ -1936,7 +1958,8 @@ def _predict_tree_b(cfg, sh, pb, t):
         p_tree = _squash_f(st_fin)                           # (B, 256)
         p_tree12 = None
 
-    aux = dict(rowi=rowi, rows=rows, ck_exp=ck_exp, b1=b1, d12_idx=d12_idx,
+    aux = dict(rowi=rowi, rows=rows, ck_exp=ck_exp, hdr=hdr, b1=b1,
+               d12_idx=d12_idx,
                prowi=prowi, ppm_rows=ppm_rows, pcnt_eff=pcnt,
                srowi=srowi, srows=srows,
                see_d=see_d, see_t=see_t, see_p=see_p, ptot=ptot,
@@ -2032,15 +2055,36 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         newrows = jnp.where(onp_b[:, None, :],
                             _slot_update(aux["rows"], target[:, None, :]),
                             aux["rows"])
+    # ---- row header (slot 0): claim the checksum and refresh the run
+    # channel in the same row write (see _bank_gather's layout note).
+    # The run refresh replicates the former dedicated runx table:
+    # same byte extends the run, a new byte restarts it
+    # (RunContextMap semantics, fxcm/paq8 class).
+    hdr_old = aux["hdr"]                                     # (B, NM) u32
+    if not (RUNX or BANK_CK):
+        hdr_old = None                                       # passthrough
+    elif RUNX:
+        rx_old_cnt = (hdr_old & jnp.uint32(0xFF)).astype(jnp.int32)
+        rx_old_byte = ((hdr_old >> U8) & jnp.uint32(0xFF)).astype(jnp.int32)
+        same_rx = rx_old_byte == byte[:, None]
+        ncnt = jnp.where(same_rx, jnp.minimum(rx_old_cnt + 1, 255), 1)
+        run16 = (byte[:, None].astype(jnp.uint32) << U8) \
+            | ncnt.astype(jnp.uint32)
+    else:
+        run16 = hdr_old & jnp.uint32(0xFFFF)
+    if hdr_old is not None:
+        ck16 = (aux["ck_exp"].astype(jnp.uint32) if BANK_CK
+                else hdr_old >> jnp.uint32(16))
+        hdr_new = (ck16 << jnp.uint32(16)) | run16
+        newrows = newrows.at[:, :, 0].set(hdr_new)
     m_ar = jnp.arange(N_BANK)
-    ck_vals = aux["ck_exp"] if BANK_CK else None
     if PORT:
         win = _claim_win(N_BANK * cfg.rows,
                          m_ar[None, :] * cfg.rows + aux["rowi"], B)
         rowi_w = jnp.where(win, aux["rowi"], cfg.rows)
-        _bank_scatter(sh, rowi_w, newrows, ck_vals)
+        _bank_scatter(sh, rowi_w, newrows)
     else:
-        _bank_scatter(sh, aux["rowi"], newrows, ck_vals)
+        _bank_scatter(sh, aux["rowi"], newrows)
 
     # ---- d0: aggregated dense update (shared order-0 stats)
     if PORT:
@@ -2307,24 +2351,7 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     if RUNX:
         _mc("runx_conf", aux["rx_bit"], aux["rx_alive"], aux["rx_conf"],
             aux["rx_b"])
-        # run-table refresh: same byte extends the run, a new byte
-        # restarts it (RunContextMap semantics)
-        r_ar = jnp.arange(RUNX_N)
-        rx_old_cnt = (aux["rx_rows"] & jnp.uint32(0xFF)).astype(jnp.int32)
-        same_rx = aux["rx_byte"] == byte[:, None]
-        ncnt = jnp.where(same_rx,
-                         jnp.minimum(rx_old_cnt + 1, 255), 1)
-        nrow = (byte[:, None].astype(jnp.uint32) << U8) \
-            | ncnt.astype(jnp.uint32)
-        rowi_r = aux["rowi"][:, :RUNX_N]
-        if PORT:
-            win_r = _claim_win(RUNX_N * cfg.rows,
-                               r_ar[None, :] * cfg.rows + rowi_r, B)
-            rowi_rw = jnp.where(win_r, rowi_r, cfg.rows)
-            sh["runx"] = sh["runx"].at[
-                r_ar[None, :], rowi_rw].set(nrow, mode="drop")
-        else:
-            sh["runx"] = sh["runx"].at[r_ar[None, :], rowi_r].set(nrow)
+        # (run-table refresh now happens in the row-header write above)
     if VMATCH:
         v_af = aux["valive"].astype(jnp.float32)             # (B,)
         vhit = (aux["vexp"] == byte).astype(jnp.float32)

@@ -46,7 +46,8 @@ _SH_TP = {
     "d12": 0,         # (256+65536, 256)
     "ppm": 1,         # (NP, R, 256) -> shard rows
     "sbank": 1,       # (NS, R, 256) -> shard rows
-    "runx": 1,        # (RUNX_N, R) run channels -> shard rows
+    # (run channels live in bank row-header slot 0 since r5 and shard
+    # with the bank rows)
 }
 
 
@@ -55,12 +56,11 @@ def shared_shardings(mesh, cfg):
 
     def spec_for(path, x):
         key = path[-1].key if hasattr(path[-1], "key") else None
-        if key is not None and re.fullmatch(r"bank(_ck)?\d*", key):
-            # bank chunks ("bank2", ...) inherit the base "bank" spec;
-            # "bank_ck2" maps to "bank_ck" (replicated, not listed).
+        if key is not None and re.fullmatch(r"bank\d*", key):
+            # bank chunks ("bank2", ...) inherit the base "bank" spec.
             # Exact-match the chunk naming so an unrelated future key
             # like "bank_stats2" cannot silently inherit the tp spec.
-            key = "bank_ck" if "_ck" in key else "bank"
+            key = "bank"
         if key in _SH_TP:
             axes = [None] * x.ndim
             axes[_SH_TP[key]] = "tp"

@@ -52,38 +52,27 @@ def main():
     print("xplanes:", xs, file=sys.stderr)
     from xprof.convert import raw_to_tool_data
     data, _ = raw_to_tool_data.xspace_to_tool_data(xs, "hlo_stats", {})
-    import csv
-    import io
     if isinstance(data, bytes):
         data = data.decode()
-    rows = list(csv.reader(io.StringIO(data)))
-    hdr = rows[0]
-    print("columns:", hdr, file=sys.stderr)
-    # find time column
-    tcol = None
-    for i, h in enumerate(hdr):
-        if "total_time" in h.lower() or h.lower() == "occurrences":
-            pass
-    idx = {h: i for i, h in enumerate(hdr)}
-    tkey = None
-    for k in idx:
-        if "self" in k.lower() and "time" in k.lower() and "us" in k.lower():
-            tkey = k
-    if tkey is None:
-        tkey = hdr[-1]
-    body = rows[1:]
-    body.sort(key=lambda r: -float(r[idx[tkey]] or 0))
-    tot = sum(float(r[idx[tkey]] or 0) for r in body)
-    print(f"total {tkey}: {tot:,.0f}")
-    for r in body[:40]:
-        name = r[idx.get('HLO name', 0)]
-        cat = r[idx.get('category', 1)] if 'category' in idx else ''
-        t = float(r[idx[tkey]] or 0)
-        expr = ""
-        for k in idx:
-            if "expression" in k.lower():
-                expr = r[idx[k]][:140]
-        print(f"{t:12,.0f} {100*t/tot:5.1f}%  {name[:60]:60s} {expr}")
+    import json
+    # newer xprof returns gviz JSON ({"cols":[...],"rows":[...]})
+    tab = json.loads(data)
+    colids = [c["id"] for c in tab["cols"]]
+    rows = []
+    for r in tab["rows"]:
+        rows.append({cid: (cell or {}).get("v")
+                     for cid, cell in zip(colids, r["c"])})
+    tot = sum(float(r.get("total_self_time") or 0) for r in rows)
+    rows.sort(key=lambda r: -float(r.get("total_self_time") or 0))
+    print(f"total self time (us): {tot:,.0f}")
+    for r in rows[:45]:
+        t = float(r.get("total_self_time") or 0)
+        cat = (r.get("category") or "")[:18]
+        name = (r.get("hlo_op_name") or "")[:44]
+        expr = (r.get("hlo_op_expression") or "")[:110]
+        bw = r.get("measured_memory_bw") or 0
+        print(f"{t:10,.0f} {100 * t / tot:5.1f}%  {cat:18s} {name:44s} "
+              f"bw={float(bw):7.1f}  {expr}")
 
 
 if __name__ == "__main__":
