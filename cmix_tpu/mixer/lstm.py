@@ -30,6 +30,12 @@ import jax
 import jax.numpy as jnp
 
 
+# Unrolling the horizon-W BPTT scan lets XLA fuse across window
+# positions (the per-iteration layout copies were ~8% of the byte step
+# in the r5 census); identical math, loop structure only.
+_SCAN_UNROLL = True      # fully unroll (horizon is small by design)
+
+
 @dataclass(frozen=True)
 class LstmConfig:
     hidden: int = 256
@@ -133,7 +139,8 @@ def lstm_shared_byte_update(cfg: LstmConfig, sh, pb, bytes_b):
             return (h, c), nll
         (_, _), nlls = jax.lax.scan(
             step, (pb["h0"], pb["c0"]),
-            (jnp.transpose(ring), jnp.transpose(targets)))
+            (jnp.transpose(ring), jnp.transpose(targets)),
+            unroll=_SCAN_UNROLL)
         return jnp.mean(nlls)
 
     grads = jax.grad(loss_fn)(params)

@@ -54,6 +54,8 @@ def main():
     data, _ = raw_to_tool_data.xspace_to_tool_data(xs, "hlo_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
+    with open("/root/repo/work/hlo_stats_raw.txt", "w") as f:
+        f.write(data)
     import json
     # newer xprof returns gviz JSON ({"cols":[...],"rows":[...]})
     tab = json.loads(data)
