@@ -1625,13 +1625,23 @@ def _predict_tree_b(cfg, sh, pb, t):
         st_sbank = ((srows >> U8).astype(jnp.float32)
                     - 4096.0) * (1.0 / 256.0)                # (B, NS, 256)
 
-    # ---- DMC: grown bit-automaton prediction per tree node
-    if cfg.dmc_nodes and PORT:
-        st_dmc = (stretch13_from_p12(dmc.predict_tree_p12(pb))
-                  - 4096)[:, None, :]
-    elif cfg.dmc_nodes:
-        st_dmc = _stretch_f(dmc.predict_tree(pb))[:, None, :]
+    # ---- DMC: grown bit-automaton prediction per tree node.  This
+    # also APPLIES the previous byte's pending edge updates (deferred-
+    # update design -- on TPU one fused Pallas kernel stages each
+    # block's tables in VMEM once for both) and exposes the walk
+    # outputs for plan_step at update time.
+    if cfg.dmc_nodes:
+        dmc_new, dmc_walk = dmc.predict_step(
+            {k: pb[k] for k in dmc.DMC_STATE_KEYS})
+        pb.update(dmc_new)
+        if PORT:
+            st_dmc = (stretch13_from_p12(
+                dmc.p12_from_counts(dmc_walk["cw"])) - 4096)[:, None, :]
+        else:
+            st_dmc = _stretch_f(
+                dmc.probs_from_counts(dmc_walk["cw"]))[:, None, :]
     else:
+        dmc_walk = None
         st_dmc = jnp.zeros((B, 1, 256),
                            jnp.int32 if PORT else jnp.float32)
     if LMS:
@@ -1977,7 +1987,8 @@ def _predict_tree_b(cfg, sh, pb, t):
                sse2_g=sse2_g, sse2_stf=sse2_stf, sse2_stp=sse2_stp,
                rx_rows=rx_rows, rx_byte=rx_byte, rx_b=rx_b,
                rx_conf=rx_conf, rx_alive=rx_alive, rx_bit=rx_bit,
-               lms_med=(lms_med if LMS == 2 else None))
+               lms_med=(lms_med if LMS == 2 else None),
+               dmc_walk=dmc_walk)
     return p_tree, aux
 
 
@@ -2792,8 +2803,9 @@ def make_byte_step(cfg: EngineConfig):
             (0, t % cfg.block_size))
 
         if cfg.dmc_nodes:
-            pb.update(dmc.byte_update(
-                {k: pb[k] for k in dmc.DMC_KEYS}, byte))
+            pb.update(dmc.plan_step(
+                {k: pb[k] for k in dmc.DMC_KEYS},
+                aux["dmc_walk"], byte.astype(jnp.int32)))
 
         # ---- record-length voting: two consecutive equal gaps of the
         # same byte value nominate a record length; agreement with the

@@ -83,11 +83,27 @@ def init_machine(n_nodes: int):
 
 def init_dmc_perblock(n_nodes: int):
     nxt, cnt, cur, top = init_machine(n_nodes)
-    return {"dmc_nxt": nxt, "dmc_cnt": cnt, "dmc_cur": cur,
-            "dmc_top": top}
+    return {
+        "dmc_nxt": nxt, "dmc_cnt": cnt, "dmc_cur": cur, "dmc_top": top,
+        # Pending edge-update descriptors (r5 deferred-update design):
+        # ``plan_step`` computes them when the byte is known; the NEXT
+        # byte's ``predict_step`` applies them just before walking --
+        # on TPU inside the same Pallas kernel that stages the tables
+        # in VMEM, which removes the three per-element XLA scatters
+        # (~215 us/step at B=256 in the r5 census).  Index -1 = no-op.
+        "dmc_uX": jnp.full(24, -1, jnp.int32),    # cnt writes: idx
+        "dmc_uXC": jnp.zeros(24, jnp.uint32),     # cnt writes: word
+        "dmc_uS": jnp.full(8, -1, jnp.int32),     # nxt writes at S
+        "dmc_uSW": jnp.zeros(8, jnp.uint32),
+        "dmc_uU": jnp.full(8, -1, jnp.int32),     # nxt writes at clones
+        "dmc_uUW": jnp.zeros(8, jnp.uint32),
+    }
 
 
 DMC_KEYS = ("dmc_nxt", "dmc_cnt", "dmc_cur", "dmc_top")
+DMC_UPD_KEYS = ("dmc_uX", "dmc_uXC", "dmc_uS", "dmc_uSW",
+                "dmc_uU", "dmc_uUW")
+DMC_STATE_KEYS = DMC_KEYS + DMC_UPD_KEYS
 
 
 def _unpack(w):
@@ -132,6 +148,123 @@ _DMC_PALLAS = os.environ.get("DMC_PALLAS", "1") != "0"
 # recompiles, and work/pallas_engine_check.py runs two full
 # pallas-in-scan transcodes in one process cleanly.  Opt-out with
 # DMC_PALLAS=0 if a runtime regression reappears.
+
+
+def _make_fused_kernel(n_tiles, sublane_fetch=True):
+    """apply-pending-updates + full walk, one VMEM staging per block.
+
+    Grid over B.  Per block: copy the staged nxt/cnt blocks to the
+    (input-aliased) outputs, poke the <=40 pending edge-update words in
+    VMEM (one-hot blends -- Mosaic has no dynamic lane addressing),
+    then chase the 255-node byte tree and emit the gathered count
+    words, the visited state ids, and the traversed pointer words.
+    Emitting vis/wn costs nothing extra (the chase already has them)
+    and lets plan_step build the next update without re-walking
+    (previously 18 diagonal gathers per byte on the XLA path)."""
+
+    def kernel(cur_ref, uX_ref, uXC_ref, uS_ref, uSW_ref, uU_ref,
+               uUW_ref, nxt_ref, cnt_ref, nxt_o, cnt_o, cw_o, vis_o,
+               wn_o):
+        import jax.experimental.pallas as pl
+        pid = pl.program_id(0)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        nxt_o[...] = nxt_ref[...]
+        cnt_o[...] = cnt_ref[...]
+
+        def poke(ref, idx, val):
+            valid = idx >= 0
+            i = jnp.where(valid, idx, 0)
+            t = i >> 10
+            tile = ref[0, t]
+            oh = valid & (sub8 == ((i >> 7) & 7)) & (lane == (i & 127))
+            ref[0, t] = jnp.where(oh, val, tile)
+
+        for j in range(uX_ref.shape[1]):
+            poke(cnt_o, uX_ref[pid, j], uXC_ref[pid, j])
+        for j in range(uU_ref.shape[1]):
+            poke(nxt_o, uU_ref[pid, j], uUW_ref[pid, j])
+        for j in range(uS_ref.shape[1]):
+            poke(nxt_o, uS_ref[pid, j], uSW_ref[pid, j])
+
+        if sublane_fetch:
+            def fetch(ref, i):
+                # int32 view for the reduce (Mosaic has no unsigned
+                # reductions); single-nonzero sum preserves the bits
+                row = ref[0, i >> 10, pl.ds((i >> 7) & 7, 1)
+                          ].astype(jnp.int32)             # (1, 128)
+                return jnp.sum(jnp.where(lane1 == (i & 127), row, 0)
+                               ).astype(jnp.uint32)
+        else:
+            def fetch(ref, i):
+                tile = ref[0, i >> 10].astype(jnp.int32)
+                oh = (sub8 == ((i >> 7) & 7)) & (lane == (i & 127))
+                return jnp.sum(jnp.where(oh, tile, 0)).astype(jnp.uint32)
+
+        idx = [None] * 256
+        idx[0] = jnp.int32(0)
+        idx[1] = cur_ref[pid, 0]
+        wn_o[0, 0, 0] = jnp.uint32(0)
+        for n in range(1, 128):
+            w = fetch(nxt_o, idx[n])
+            wn_o[0, 0, n] = w
+            wi = w.astype(jnp.int32)
+            idx[2 * n] = wi & 0xFFFF
+            idx[2 * n + 1] = (wi >> 16) & 0xFFFF
+        for j in range(256):
+            cw_o[0, j >> 7, j & 127] = fetch(cnt_o, idx[j])
+            vis_o[0, j >> 7, j & 127] = idx[j]
+    return kernel
+
+
+def _fused_pallas(nxt, cnt, cur, uX, uXC, uS, uSW, uU, uUW,
+                  interpret=False, sublane_fetch=True):
+    """-> (nxt', cnt', cw (B,256) u32, vis (B,256) i32, wn (B,128) u32)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    B, N = nxt.shape
+    assert N % 1024 == 0, "fused DMC path needs a whole-tile pool"
+    n3 = (N // 1024, 8, 128)
+    smem_in = [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+        for a in (cur[:, None], uX, uXC, uS, uSW, uU, uUW)]
+    out = pl.pallas_call(
+        _make_fused_kernel(N // 1024, sublane_fetch),
+        grid=(B,),
+        in_specs=smem_in + [
+            pl.BlockSpec((1,) + n3, lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + n3, lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1,) + n3, lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + n3, lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B,) + n3, jnp.uint32),
+            jax.ShapeDtypeStruct((B,) + n3, jnp.uint32),
+            jax.ShapeDtypeStruct((B, 2, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((B, 2, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 128), jnp.uint32),
+        ],
+        input_output_aliases={7: 0, 8: 1},
+        interpret=interpret,
+    )(cur.astype(jnp.int32)[:, None], uX, uXC, uS, uSW, uU, uUW,
+      nxt.reshape((B,) + n3), cnt.reshape((B,) + n3))
+    nxt2, cnt2, cw, vis, wn = out
+    return (nxt2.reshape(B, N), cnt2.reshape(B, N), cw.reshape(B, 256),
+            vis.reshape(B, 256), wn.reshape(B, 128))
 
 
 def _make_walk_kernel(group):
@@ -215,35 +348,67 @@ def _counts_pallas(nxt, cnt, cur, interpret=False, group=1):
     return out.reshape(B, 256)
 
 
-def _counts_xla(nxt, cnt, cur):
+def _walk_xla(nxt, cnt, cur):
+    """-> (cw (B, 2^L) u32, vis (B, 2^L) i32, wn (B, 2^(L-1)) u32).
+
+    vis[n] = machine state at byte-tree node n (vis[0] = 0 pad);
+    wn[n] = packed nxt word fetched at vis[n] during the chase."""
     B = nxt.shape[0]
     frontier = cur[:, None]                              # (B, 1): node 1
     visited = [jnp.zeros((B, 1), jnp.int32), frontier]
+    words = [jnp.zeros((B, 1), jnp.uint32)]
     for _lev in range(1, min(DMC_LEVELS, 8)):
         w = frontier.shape[1]
         word = jnp.take_along_axis(nxt, frontier, axis=1)  # (B, w)
+        words.append(word)
         c0, c1 = _unpack(word)
         frontier = jnp.stack([c0, c1], axis=2).reshape(B, 2 * w)
         visited.append(frontier)                         # (B, 2^lev)
-    st = jnp.concatenate(visited, axis=1)                # (B, 2^L)
-    return jnp.take_along_axis(cnt, st, axis=1)
+    vis = jnp.concatenate(visited, axis=1)               # (B, 2^L)
+    wn = jnp.concatenate(words, axis=1)                  # (B, 2^(L-1))
+    return jnp.take_along_axis(cnt, vis, axis=1), vis, wn
 
 
-def _tree_counts(pb):
+def _apply_xla(nxt, cnt, pb):
+    """Apply the pending edge-update descriptors (XLA scatters)."""
+    B, N = nxt.shape
+    bar = jnp.arange(B)[:, None]
+
+    def _safe(idx):
+        return jnp.where(idx >= 0, idx, N)
+    cnt = cnt.at[bar, _safe(pb["dmc_uX"])].set(pb["dmc_uXC"],
+                                               mode="drop")
+    nxt = nxt.at[bar, _safe(pb["dmc_uU"])].set(pb["dmc_uUW"],
+                                               mode="drop")
+    nxt = nxt.at[bar, _safe(pb["dmc_uS"])].set(pb["dmc_uSW"],
+                                               mode="drop")
+    return nxt, cnt
+
+
+def predict_step(pb):
+    """Apply pending updates, then walk: -> (state_updates, walk_aux).
+
+    state_updates: {"dmc_nxt", "dmc_cnt"} post-apply;
+    walk_aux: {"cw", "vis", "wn"} for prediction and plan_step.
+    On TPU both happen inside one Pallas kernel per block (single VMEM
+    staging of the tables); elsewhere XLA scatters + level gathers --
+    identical integer results."""
     nxt, cnt, cur = pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"]
     if _DMC_PALLAS and jax.default_backend() == "tpu" \
-            and min(DMC_LEVELS, 8) == 8:
-        return _counts_pallas(nxt, cnt, cur)
-    return _counts_xla(nxt, cnt, cur)
+            and min(DMC_LEVELS, 8) == 8 and nxt.shape[1] % 1024 == 0:
+        nxt2, cnt2, cw, vis, wn = _fused_pallas(
+            nxt, cnt, cur, pb["dmc_uX"], pb["dmc_uXC"], pb["dmc_uS"],
+            pb["dmc_uSW"], pb["dmc_uU"], pb["dmc_uUW"])
+    else:
+        nxt2, cnt2 = _apply_xla(nxt, cnt, pb)
+        cw, vis, wn = _walk_xla(nxt2, cnt2, cur)
+    return ({"dmc_nxt": nxt2, "dmc_cnt": cnt2},
+            {"cw": cw, "vis": vis, "wn": wn})
 
 
-def predict_tree(pb):
-    """p(bit=1) for every byte-tree node: f32 (B, 256).
-
-    Walks the machine from each block's current state (Pallas kernel on
-    TPU, XLA gathers elsewhere -- identical integer results either way).
-    """
-    cw = _tree_counts(pb)
+def probs_from_counts(cw):
+    """p(bit=1) per tree node from gathered count words: f32 (B, 256)."""
+    B = cw.shape[0]
     probs = _p_of_units(*_unpack(cw))
     if probs.shape[1] < 256:                             # trimmed walk
         probs = jnp.concatenate(
@@ -252,11 +417,9 @@ def predict_tree(pb):
     return probs
 
 
-def predict_tree_p12(pb):
-    """Integer twin of predict_tree (portable profile): p12 int32
-    (B, 256).  The walk is the same integer pointer chase; only the
-    final count->probability step differs (exact integer division)."""
-    cw = _tree_counts(pb)
+def p12_from_counts(cw):
+    """Integer twin (portable profile): p12 int32 (B, 256)."""
+    B = cw.shape[0]
     p12 = _p12_of_units(*_unpack(cw))
     if p12.shape[1] < 256:
         p12 = jnp.concatenate(
@@ -265,59 +428,81 @@ def predict_tree_p12(pb):
     return p12
 
 
-def byte_update(pb, byte):
-    """Advance every block's machine along its 8 observed bits, in bulk.
+def plan_step(pb, walk, byte):
+    """Plan every block's 8-edge advance; byte: (B,) int32.
 
     The reference applies DMC's edge-bump/clone/step rule strictly
-    bit-by-bit (paq8.cpp:7665-7749); the sequential form costs ~130
-    tiny gather/scatter ops per byte on TPU.  This bulk form walks the
-    8-edge path first (8 packed gathers, the only irreducibly
-    sequential part), makes every clone decision from the pre-byte
-    counts, aggregates colliding count deltas with a dense equality
-    matrix, and applies everything as three batched scatters:
+    bit-by-bit (paq8.cpp:7665-7749).  This bulk form reads the path
+    states straight out of the prediction walk's outputs (``walk`` =
+    predict_step's {cw, vis, wn}; the path nodes are a subset of the
+    255 visited nodes, so only 3 residual (B, 1) gathers remain, for
+    the final byte-boundary transition), makes every clone decision
+    from the pre-byte counts, aggregates colliding count deltas with a
+    dense equality matrix, and emits UPDATE DESCRIPTORS (applied by the
+    next predict_step, inside the walk kernel on TPU):
 
     * clones get slots ``top + prefix_count``; a within-byte re-visit
       of a cloned edge is resolved against the pre-byte machine -- a
       deterministic, format-defining approximation of the reference's
       sequential semantics;
-    * duplicate touched indices compute identical aggregated words, so
-      every scatter is order-independent;
+    * duplicate touched indices carry identical aggregated words, so
+      application order never matters;
     * count-limit halving runs on the touched words only (untouched
       nodes are always within limits already).
-
-    byte: (B,) int32.
     """
     nxt, cnt = pb["dmc_nxt"], pb["dmc_cnt"]
     B, N = nxt.shape[0], nxt.shape[1]
     top = jnp.broadcast_to(pb["dmc_top"], (B,)) \
         if pb["dmc_top"].ndim == 0 else pb["dmc_top"]
 
-    # ---- 1. path walk on the pre-byte machine (8 sequential packed
-    # gathers; the count word rides along at the same index)
-    s = pb["dmc_cur"]
-    s_list, t_list, b_list, ws_list, cs_list = [], [], [], [], []
+    # ---- 1. path states from the walk outputs.  Path node ids at
+    # step k: n8_k = 2^k + (byte >> (8-k)); S_k = vis[n8_k].  The
+    # chase words wn cover nodes 1..2^(L-1)-1; deeper steps (and the
+    # byte-boundary transition out of the leaf) fall back to (B, 1)
+    # diagonal gathers.
+    L = min(DMC_LEVELS, 8)
+    k8 = jnp.arange(8)
+    n8 = (1 << k8)[None, :] + (byte[:, None] >> (8 - k8)[None, :])
+    Bv = jnp.stack([(byte >> (7 - k)) & 1 for k in range(8)], axis=1)
+    nvis = walk["vis"].shape[1]                          # 2^L
+    ohv = (n8[:, :L, None] == jnp.arange(nvis)[None, None, :])
+    S_pre = jnp.where(ohv, walk["vis"][:, None, :], 0).sum(
+        axis=2, dtype=jnp.int32)                         # (B, L)
+    CS_pre = jnp.where(ohv, walk["cw"][:, None, :], jnp.uint32(0)).sum(
+        axis=2, dtype=jnp.uint32)
+    nwn = walk["wn"].shape[1]                            # 2^(L-1)
+    ohw = (n8[:, :L - 1, None] == jnp.arange(nwn)[None, None, :])
+    # wn[n] is the packed word fetched AT state vis[n] during the
+    # chase, so WS_k = wn[n8_k] for k = 0..L-2 (path nodes below the
+    # last chased level)
+    WS_pre = jnp.where(ohw, walk["wn"][:, None, :], jnp.uint32(0)).sum(
+        axis=2, dtype=jnp.uint32)                        # (B, L-1)
+    s_list = [S_pre[:, k] for k in range(L)]
+    cs_list = [CS_pre[:, k] for k in range(L)]
+    ws_list = [WS_pre[:, k] for k in range(L - 1)]
+    t_list = []
     for k in range(8):
-        b = (byte >> (7 - k)) & 1
-        w_s = jnp.take_along_axis(nxt, s[:, None], axis=1)[:, 0]
-        c_s = jnp.take_along_axis(cnt, s[:, None], axis=1)[:, 0]
-        n0, n1 = _unpack(w_s)
-        t = jnp.where(b == 1, n1, n0)
-        s_list.append(s)
-        t_list.append(t)
-        b_list.append(b)
-        ws_list.append(w_s)
-        cs_list.append(c_s)
-        s = t
+        if k >= L:
+            s_list.append(t_list[k - 1])
+            cs_list.append(jnp.take_along_axis(
+                cnt, t_list[k - 1][:, None], axis=1)[:, 0])
+        if k >= L - 1:
+            ws_list.append(jnp.take_along_axis(
+                nxt, s_list[k][:, None], axis=1)[:, 0])
+        n0, n1 = _unpack(ws_list[k])
+        t_list.append(jnp.where(Bv[:, k] == 1, n1, n0))
     S = jnp.stack(s_list, axis=1)                        # (B, 8)
     T = jnp.stack(t_list, axis=1)
-    Bv = jnp.stack(b_list, axis=1)
     WS = jnp.stack(ws_list, axis=1)                      # packed nxt at S
     CS = jnp.stack(cs_list, axis=1)                      # packed cnt at S
     cs0, cs1 = _unpack(CS)
     c_sb = jnp.where(Bv == 1, cs1, cs0)                  # traversed edge
 
-    # ---- 2. target counts + clone decisions from pre-byte state
-    cT = jnp.take_along_axis(cnt, T, axis=1)             # (B, 8) packed
+    # ---- 2. target counts + clone decisions from pre-byte state.
+    # T_k = S_{k+1} for k < 7, so only T_7 (the next byte's root)
+    # needs a fresh gather.
+    cT7 = jnp.take_along_axis(cnt, T[:, 7:8], axis=1)
+    cT = jnp.concatenate([CS[:, 1:], cT7], axis=1)       # (B, 8) packed
     cT0, cT1 = _unpack(cT)
     tot_t = cT0 + cT1
     want = ((c_sb >= CLONE_TH1_U) & (tot_t - c_sb >= CLONE_TH2_U)
@@ -357,16 +542,14 @@ def byte_update(pb, byte):
     n0 = jnp.where(halve, n0 >> 1, n0)
     n1 = jnp.where(halve, n1 >> 1, n1)
     new_cw = n0.astype(jnp.uint32) | (n1.astype(jnp.uint32) << _U16)
-    bar = jnp.arange(B)[:, None]
-    cnt = cnt.at[bar, X].set(new_cw)                     # dups identical
 
     # ---- 4. pointer updates.  Clone slots copy T's pre-byte children;
     # each traversed edge (S_k, b_k) is redirected to U_k with explicit
-    # last-entry-wins merging per node, so duplicate scatters write
-    # identical words.
-    wT = jnp.take_along_axis(nxt, T, axis=1)             # (B, 8) packed
-    ucl = jnp.where(do_clone, U, N)                      # dropped below
-    nxt = nxt.at[bar, ucl].set(wT, mode="drop")
+    # last-entry-wins merging per node, so duplicate descriptor entries
+    # carry identical words.  wT_k = nxt[T_k] = WS_{k+1} for k < 7.
+    wT7 = jnp.take_along_axis(nxt, T[:, 7:8], axis=1)
+    wT = jnp.concatenate([WS[:, 1:], wT7], axis=1)       # (B, 8) packed
+    ucl = jnp.where(do_clone, U, -1)                     # -1 = no-op
     ordk = jnp.arange(8)[None, :]
     sameS = S[:, :, None] == S[:, None, :]               # (B, 8i, 8j)
 
@@ -383,8 +566,32 @@ def byte_update(pb, byte):
     f0 = _field(0, ws0)
     f1 = _field(1, ws1)
     new_ws = f0.astype(jnp.uint32) | (f1.astype(jnp.uint32) << _U16)
-    nxt = nxt.at[bar, S].set(new_ws)                     # dups identical
 
     top = top + jnp.sum(do_clone, axis=1).astype(jnp.int32)
-    return {"dmc_nxt": nxt, "dmc_cnt": cnt, "dmc_cur": U[:, 7],
-            "dmc_top": top}
+    return {"dmc_cur": U[:, 7], "dmc_top": top,
+            "dmc_uX": X.astype(jnp.int32), "dmc_uXC": new_cw,
+            "dmc_uS": S.astype(jnp.int32), "dmc_uSW": new_ws,
+            "dmc_uU": ucl.astype(jnp.int32), "dmc_uUW": wT}
+
+
+def byte_update(pb, byte):
+    """Legacy immediate-application form (tests / standalone use): walk,
+    plan, and apply in one call.  The engine instead calls predict_step
+    (apply pending + walk) and plan_step (defer) -- same math, same
+    resulting machine."""
+    cw, vis, wn = _walk_xla(pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"])
+    upd = plan_step(pb, {"cw": cw, "vis": vis, "wn": wn}, byte)
+    nxt, cnt = _apply_xla(pb["dmc_nxt"], pb["dmc_cnt"], upd)
+    return {"dmc_nxt": nxt, "dmc_cnt": cnt,
+            "dmc_cur": upd["dmc_cur"], "dmc_top": upd["dmc_top"]}
+
+
+def _counts_xla(nxt, cnt, cur):
+    """Prediction-only walk (back-compat shim): gathered count words."""
+    return _walk_xla(nxt, cnt, cur)[0]
+
+
+def predict_tree(pb):
+    """Prediction-only convenience (tests / standalone): f32 (B, 256)."""
+    return probs_from_counts(
+        _walk_xla(pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"])[0])

@@ -86,3 +86,34 @@ def test_pallas_walk_matches_xla():
     ker = dmc._counts_pallas(pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"],
                              interpret=True)
     assert np.array_equal(np.asarray(ref), np.asarray(ker))
+
+
+def test_fused_kernel_matches_xla():
+    """The r5 fused apply+walk kernel (TPU path of predict_step) is
+    bit-identical to the XLA scatters+gathers path, including pending-
+    descriptor application and the vis/wn side outputs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cmix_tpu.models import dmc
+
+    B, N = 4, 5120                     # whole-tile pool (N % 1024 == 0)
+    pb = dmc.init_dmc_perblock(N)
+    pb = {k: jnp.tile(v[None], (B,) + (1,) * v.ndim) for k, v in pb.items()}
+    rng = np.random.RandomState(7)
+    for t in range(60):
+        # run the deferred flow on the XLA path to build real pending
+        # descriptors + grown machines
+        upd, walk = dmc.predict_step(pb)
+        pb.update(upd)
+        pb.update(dmc.plan_step(
+            {k: pb[k] for k in dmc.DMC_KEYS}, walk,
+            jnp.asarray(rng.randint(0, 256, size=B))))
+    nxt_r, cnt_r = dmc._apply_xla(pb["dmc_nxt"], pb["dmc_cnt"], pb)
+    cw_r, vis_r, wn_r = dmc._walk_xla(nxt_r, cnt_r, pb["dmc_cur"])
+    nxt_k, cnt_k, cw_k, vis_k, wn_k = dmc._fused_pallas(
+        pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"],
+        pb["dmc_uX"], pb["dmc_uXC"], pb["dmc_uS"], pb["dmc_uSW"],
+        pb["dmc_uU"], pb["dmc_uUW"], interpret=True)
+    for r, k in ((nxt_r, nxt_k), (cnt_r, cnt_k), (cw_r, cw_k),
+                 (vis_r, vis_k), (wn_r, wn_k)):
+        assert np.array_equal(np.asarray(r), np.asarray(k))
