@@ -2240,10 +2240,13 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         t8.astype(jnp.int32)[:, None, :], (B, N_SBANK, 8))
     ohs = (s8[..., None] == jnp.arange(256)[None, None, None, :]
            ).astype(jnp.int32)                               # (B,NS,8,256)
-    nxt0 = jnp.einsum("bnos,ns->bno", ohs,
-                      jnp.asarray(_SBANK_NEXT[:, :, 0].astype(np.int32)))
-    nxt1 = jnp.einsum("bnos,ns->bno", ohs,
-                      jnp.asarray(_SBANK_NEXT[:, :, 1].astype(np.int32)))
+    # both successor states packed in one word -> one (B,NS,8,256)
+    # contraction instead of two (exact: single-nonzero sums)
+    nxt01 = jnp.einsum(
+        "bnos,ns->bno", ohs,
+        jnp.asarray(_SBANK_NEXT[:, :, 0].astype(np.int32)
+                    | (_SBANK_NEXT[:, :, 1].astype(np.int32) << 8)))
+    nxt0, nxt1 = nxt01 & 0xFF, nxt01 >> 8
     nxt8 = jnp.where(t8_i == 1, nxt1, nxt0)                  # (B, NS, 8)
     ohn = (nxt8[..., None] == jnp.arange(256)[None, None, None, :]
            ).astype(jnp.int32)
