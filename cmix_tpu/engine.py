@@ -93,6 +93,14 @@ _GATE_SPEC = (
     ("CMIX_PPM_ORDERS", str, "1,2,3,4,5,6,8,10,12,16,20,24"),
     ("PPM_EXCL", int, "1"),
     ("PPM_UPD", int, "1"),
+    ("PPM_CK", int, "0"),   # checksummed PPM rows: a mismatched row is
+    #                         read as empty and replaced at update --
+    #                         kills hash aliasing, the hashed-table
+    #                         answer to mod_ppmd's exact suffix tree
+    #                         (src/models/ppmd.cpp:119-348)
+    ("PPM_DEEP", int, "0"),  # orders 32/48 from rolling window hashes
+    #                          (past ohash's 24) -- deep-context reach
+    #                          toward mod_ppmd's order 25 + long arena
     ("BANK_CK", int, "2"),
     ("MIX_DYN3", int, "1"),
     ("MIX_DYN4", int, "0"),
@@ -225,6 +233,7 @@ def _derive(env):
     decoded archive pins different gates."""
     global N_IND, WIKI, X86X, GRID2, JPEGX, STEMX, CTX2, CTX3, N_BANK
     global MATCH_ORDERS, N_MATCH, MATCH2
+    global PPM_CK, PPM_DEEP
     global PPM_ORDERS, N_PPM, PPM_EXCL, PPM_UPD, BANK_CK, MIX_DYN3
     global MIX_DYN4
     global SBANK_COLS, N_SBANK, SBANK_KIND, SBANK_ADAPT
@@ -285,6 +294,13 @@ def _derive(env):
     MATCH2 = gi("MATCH2")
     PPM_ORDERS = tuple(
         int(o) for o in GATES["CMIX_PPM_ORDERS"].split(","))
+    PPM_CK = gi("PPM_CK")
+    PPM_DEEP = gi("PPM_DEEP")
+    if PPM_DEEP:
+        # deep virtual orders keyed by rolling 32/48-byte window hashes
+        # maintained in per-block state (ohash stops at 24); appended
+        # ascending so the escape chain still runs high-order-first
+        PPM_ORDERS = PPM_ORDERS + (32, 48)
     N_PPM = len(PPM_ORDERS)
     PPM_EXCL = gi("PPM_EXCL")
     # update exclusion (the rule that makes PPMD strong, ppmd.cpp
@@ -715,6 +731,10 @@ def init_shared(cfg: EngineConfig):
         "lms_conf": jnp.full(16, 0.55, dtype=jnp.float32),
         # PPM symbol counts: one uint8 count per (order, context row, byte)
         "ppm": jnp.zeros((N_PPM, cfg.prows, 256), dtype=jnp.uint8),
+        # per-row 8-bit checksum (256 = virgin): aliased rows read as
+        # empty and are replaced at update (mod_ppmd exactness class)
+        **({"ppm_ck": jnp.full((N_PPM, cfg.prows), 256, jnp.int32)}
+           if PPM_CK else {}),
         "ppm_see": jnp.asarray(_see_init()),
 
         # state bank: packed (state | st13) per (model, context row, node)
@@ -831,6 +851,9 @@ def init_perblock(cfg: EngineConfig):
         "ctx": init_ctx_state(),
         "ind_val": jnp.zeros(N_IND, dtype=jnp.uint32),
         "hist": jnp.zeros(cfg.block_size, dtype=jnp.uint8),
+        # rolling 32/48-byte window hashes for the deep PPM orders
+        **({"h32": jnp.zeros((), dtype=jnp.uint32),
+            "h48": jnp.zeros((), dtype=jnp.uint32)} if PPM_DEEP else {}),
         "mp_blk": jnp.zeros(N_MATCH, dtype=jnp.int32),
         "mp_pos": jnp.zeros(N_MATCH, dtype=jnp.int32),
         "match_len": jnp.zeros(N_MATCH, dtype=jnp.int32),
@@ -1598,11 +1621,18 @@ def _predict_tree_b(cfg, sh, pb, t):
     pmask = jnp.uint32(cfg.prows - 1)
     psalt = (jnp.asarray(np.array(PPM_ORDERS, dtype=np.uint32))
              * jnp.uint32(0xB5297A4D))
-    pbase = mix32(jnp.stack([cs["ohash"][:, o] for o in PPM_ORDERS],
-                            axis=1), psalt[None, :])         # (B, NP)
+    pcols = [cs["ohash"][:, o] if o <= 24
+             else pb["h32" if o == 32 else "h48"] for o in PPM_ORDERS]
+    pbase = mix32(jnp.stack(pcols, axis=1), psalt[None, :])  # (B, NP)
     prowi = ((pbase >> U8) & pmask).astype(jnp.int32)
     p_ar = jnp.arange(N_PPM)
     ppm_rows = sh["ppm"][p_ar[None, :], prowi]               # (B,NP,256) u8
+    if PPM_CK:
+        pck_exp = (pbase & jnp.uint32(0xFF)).astype(jnp.int32)
+        pck_ok = sh["ppm_ck"][p_ar[None, :], prowi] == pck_exp
+        ppm_rows = jnp.where(pck_ok[:, :, None], ppm_rows, jnp.uint8(0))
+    else:
+        pck_exp = None
     if PORT:
         (st_ppm, pcnt, ptot, pdst, see_d, see_t,
          see_p) = _ppm_blend_int(sh, ppm_rows, B, p_ar)
@@ -1971,6 +2001,7 @@ def _predict_tree_b(cfg, sh, pb, t):
     aux = dict(rowi=rowi, rows=rows, ck_exp=ck_exp, hdr=hdr, b1=b1,
                d12_idx=d12_idx,
                prowi=prowi, ppm_rows=ppm_rows, pcnt_eff=pcnt,
+               pck_exp=pck_exp,
                srowi=srowi, srows=srows,
                see_d=see_d, see_t=see_t, see_p=see_p, ptot=ptot,
                d12rows=d12rows, apm_idx=apm_idx, apm_rows=apm_rows,
@@ -2174,7 +2205,12 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         sh["ppm"] = sh["ppm"].at[
             p_ar[None, :], prowi_w].set(prow_new, mode="drop")
     else:
+        prowi_w = aux["prowi"]
         sh["ppm"] = sh["ppm"].at[p_ar[None, :], aux["prowi"]].set(prow_new)
+    if PPM_CK:
+        # claim the row for this context (same winner as the row write)
+        sh["ppm_ck"] = sh["ppm_ck"].at[
+            p_ar[None, :], prowi_w].set(aux["pck_exp"], mode="drop")
 
     # ---- SEE: adapt escape estimates toward observed escape events
     # (escape at order o <=> the coded byte had count 0 in that row;
@@ -2804,6 +2840,18 @@ def make_byte_step(cfg: EngineConfig):
         pb["hist"] = jax.lax.dynamic_update_slice(
             pb["hist"], byte.astype(jnp.uint8)[:, None],
             (0, t % cfg.block_size))
+        if PPM_DEEP:
+            # rolling window hashes: h_t = sum b_{t-i} * A^i, i < W
+            # (mod 2^32); the outgoing byte comes off the history ring
+            # (pre-window reads are ring zeros -- deterministic)
+            A = 0x01000193
+            bu = byte.astype(jnp.uint32)
+            for key, w in (("h32", 32), ("h48", 48)):
+                old = jax.lax.dynamic_index_in_dim(
+                    pb["hist"], jnp.mod(t - w, cfg.block_size), axis=1,
+                    keepdims=False).astype(jnp.uint32)       # (B,)
+                pb[key] = (pb[key] - old * jnp.uint32(
+                    pow(A, w - 1, 1 << 32))) * jnp.uint32(A) + bu
 
         if cfg.dmc_nodes:
             pb.update(dmc.plan_step(
