@@ -109,6 +109,13 @@ _GATE_SPEC = (
     ("VMATCH", int, "0"),
     ("LMS", int, "0"),
     ("GRID2", int, "0"),
+    ("JVAL", int, "0"),    # JPEG coefficient-VALUE model: learned
+    #                        per-(component, band, mag(N), mag(W)) byte
+    #                        distributions over the recoded plane
+    #                        alphabet, mixed as a ByteModel interval
+    #                        channel (the Adv-prediction stage of the
+    #                        reference jpegModel, paq8.cpp:5871-6589);
+    #                        content-routed with JPEGX
     ("JPEGX", int, "0"),   # content-routed: runner.compress enables it
     #                        per archive when recoded-JPEG segments
     #                        exist (measured strictly better there,
@@ -388,9 +395,11 @@ def _derive(env):
     global RUNX_N
     RUNX_N = min(gi("RUNX_N"), N_BANK, 64)
     DMC_IDX = N_BANK + 4 + N_MATCH + 2 + N_SBANK  # dmc channel pos in x
+    global JVAL
+    JVAL = gi("JVAL")
     N_INPUTS = (N_BANK + 4 + N_MATCH + 1 + 1 + N_SBANK + 1 + VMATCH
                 + (1 if LMS else 0) + MATCH2 * N_MATCH
-                + RUNX_N * (1 if RUNX else 0)
+                + RUNX_N * (1 if RUNX else 0) + JVAL
                 + (BANK_CH - 1) * N_BANK)
     # bank + (d0+d1+d2+brk) + match + lstm + ppm + state bank + dmc
 
@@ -545,6 +554,12 @@ SEE_RATE = 0.02
 ST_CLAMP = 12.0            # stretch clamp: p in [6e-6, 1-6e-6]
 _SLOT_INIT = (4096 << 18) | (2048 << 6)   # p=0.5, st=0, cnt=0
 _HDR_INIT = 256 << 16                     # row header: ck=virgin, run=0
+# zigzag position -> band bucket for the JVAL value model (low bands
+# get their own row family; the long high-frequency tail shares)
+_JBAND = np.concatenate([
+    np.arange(6), np.full(4, 6), np.full(6, 7), np.full(12, 8),
+    np.full(36, 9)]).astype(np.int32)     # (64,)
+JVAL_ROWS = 4 * 10 * 8 * 8                # comp x band x magN x magW
 APM_RATE = 0.02            # SSE node update rate
 POS_BITS = 24              # match table: low bits position, high bits block
 PRETRAIN_SEG = 4096        # fixed pretrain segment length (format-defining:
@@ -735,6 +750,10 @@ def init_shared(cfg: EngineConfig):
         # empty and are replaced at update (mod_ppmd exactness class)
         **({"ppm_ck": jnp.full((N_PPM, cfg.prows), 256, jnp.int32)}
            if PPM_CK else {}),
+        # JPEG coefficient-value distributions (JVAL): direct-indexed
+        # byte counts per (component, band, magN, magW) context
+        **({"jval": jnp.zeros((JVAL_ROWS, 256), jnp.uint8)}
+           if JVAL else {}),
         "ppm_see": jnp.asarray(_see_init()),
 
         # state bank: packed (state | st13) per (model, context row, node)
@@ -1237,7 +1256,22 @@ def _record_ctx_vals(cfg, pb, t):
                           | (_magq(above) << U8)
                           | (_magq(lfj) << jnp.uint32(12)),
                           ck + jnp.uint32(0x85EBCA6B)))      # 2D mag grid
-    return jnp.stack(vals, axis=1), rl, posr
+        if JVAL:
+            # direct-indexed value-model context (no hashing -- exact
+            # rows like the reference's per-position stats): component
+            # x zigzag band bucket x magnitude(N) x magnitude(W)
+            bk = _take_cols(jnp.asarray(_JBAND),
+                            (ck & jnp.uint32(63)).astype(jnp.int32))
+            jctx = (((comp * 10 + bk) * 8
+                     + _magq(above).astype(jnp.int32)) * 8
+                    + _magq(lfj).astype(jnp.int32))
+            jx = {"jctx": jnp.where(valid, jctx, 0).astype(jnp.int32),
+                  "jvalid": valid}
+        else:
+            jx = None
+    else:
+        jx = None
+    return jnp.stack(vals, axis=1), rl, posr, jx
 
 
 def _slot_update(slots, target):
@@ -1478,7 +1512,7 @@ def _predict_tree_b(cfg, sh, pb, t):
     cs = pb["ctx"]
     node = jnp.asarray(_NODE)
     level = jnp.asarray(_LEVEL)
-    rec_vals, rec_rl, rec_posr = _record_ctx_vals(cfg, pb, t)
+    rec_vals, rec_rl, rec_posr, jx = _record_ctx_vals(cfg, pb, t)
     x86_vals, x86_gate = x86_ctx_vals(pb["x86"])
     bases, brctx, above_l, v_alive = _bank_bases_b(
         cs, pb["ind_val"], rec_vals, x86_vals, pb["x86"])
@@ -1750,9 +1784,46 @@ def _predict_tree_b(cfg, sh, pb, t):
         rx_rows = rx_byte = rx_cnt = rx_b = rx_conf = None
         rx_alive = rx_bit = None
         rx = []
+    if JVAL:
+        # JPEG coefficient-value channel: learned byte distribution of
+        # the direct (comp, band, magN, magW) context, folded onto the
+        # byte tree through its cumulative distribution (the same
+        # interval decomposition the LSTM head and PPM use)
+        jrows = sh["jval"][jx["jctx"]]                       # (B, 256) u8
+        if PORT:
+            jq = jrows.astype(jnp.int32) * 16 + 1            # 16ths
+            jqc = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32),
+                 jnp.cumsum(jq, axis=1)], axis=1)
+            j_lo = jqc[:, jnp.asarray(_LO)]
+            j_hi = jqc[:, jnp.asarray(_HI)]
+            j_mid = jqc[:, jnp.asarray(_MID)]
+            jp12 = jnp.clip(((j_hi - j_mid) << 12)
+                            // jnp.maximum(j_hi - j_lo, 1), 1, 4095)
+            st_jv = jnp.where(jx["jvalid"][:, None],
+                              stretch13_from_p12(jp12) - 4096,
+                              0)[:, None, :]
+        else:
+            jq = jrows.astype(jnp.float32) + 0.0625
+            jqc = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.float32),
+                 jnp.cumsum(jq, axis=1)], axis=1)
+            j_lo = jqc[:, jnp.asarray(_LO)]
+            j_hi = jqc[:, jnp.asarray(_HI)]
+            j_mid = jqc[:, jnp.asarray(_MID)]
+            jp = jnp.clip((j_hi - j_mid)
+                          / jnp.maximum(j_hi - j_lo, 1e-9),
+                          1e-5, 1 - 1e-5)
+            st_jv = jnp.where(jx["jvalid"][:, None], _stretch_f(jp),
+                              0.0)[:, None, :]
+        jvx = [st_jv]
+    else:
+        jrows = None
+        jvx = []
     x = jnp.concatenate(
         [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm,
-         st_sbank, st_dmc] + lm + vm + m2 + rx, axis=1)      # (B, NIN, 256)
+         st_sbank, st_dmc] + lm + vm + m2 + rx + jvx,
+        axis=1)                                              # (B, NIN, 256)
     if BANK_CH > 1:
         # extra per-bank-model channels (see the BANK_CH note above);
         # the slot count is already in the gathered rows -- the widened
@@ -2019,7 +2090,7 @@ def _predict_tree_b(cfg, sh, pb, t):
                rx_rows=rx_rows, rx_byte=rx_byte, rx_b=rx_b,
                rx_conf=rx_conf, rx_alive=rx_alive, rx_bit=rx_bit,
                lms_med=(lms_med if LMS == 2 else None),
-               dmc_walk=dmc_walk)
+               dmc_walk=dmc_walk, jx=jx, jval_rows=jrows if JVAL else None)
     return p_tree, aux
 
 
@@ -2211,6 +2282,21 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
         # claim the row for this context (same winner as the row write)
         sh["ppm_ck"] = sh["ppm_ck"].at[
             p_ar[None, :], prowi_w].set(aux["pck_exp"], mode="drop")
+
+    # ---- JVAL: bump the observed byte's count in the coefficient-value
+    # distribution (halve the row first when it would overflow uint8)
+    if JVAL:
+        jr = aux["jval_rows"]                                # (B, 256) u8
+        obs_j = jnp.einsum("bk,bk->b", byte_ohi,
+                           jr.astype(jnp.int32))[:, None]    # (B, 1)
+        jr = jnp.where(obs_j >= 256 - 4, jr >> jnp.uint8(1), jr)
+        jr = jr + byte_ohi.astype(jnp.uint8) * jnp.uint8(4)
+        jidx = jnp.where(aux["jx"]["jvalid"], aux["jx"]["jctx"],
+                         JVAL_ROWS)
+        if PORT:
+            win_j = _claim_win(JVAL_ROWS + 1, jidx[:, None], B)[:, 0]
+            jidx = jnp.where(win_j, jidx, JVAL_ROWS)
+        sh["jval"] = sh["jval"].at[jidx].set(jr, mode="drop")
 
     # ---- SEE: adapt escape estimates toward observed escape events
     # (escape at order o <=> the coded byte had count 0 in that row;
