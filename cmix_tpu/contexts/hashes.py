@@ -15,7 +15,13 @@ import jax.numpy as jnp
 
 MAX_ORDER = 24          # rolling hashes maintained for orders 1..MAX_ORDER
 WRTW = 0                # WRT codeword-aware word tracking; set by
-#                         engine._derive from the format gate (traced in)
+#                         engine._derive from the format gate.
+# INVARIANT: WRTW is baked into compiled functions at trace time, not
+# threaded as an operand.  Every caller that jits update_ctx_state_batched
+# (directly or via the engine) MUST recompile after a gate flip -- the
+# runner's _TRANSCODER_CACHE is cleared on update_gates/apply_gates for
+# exactly this reason; test-local jax.jit closures must not be reused
+# across _derive calls.
 PHI32 = np.uint32(0x9E3779B1)
 PRIME2 = np.uint32(0x85EBCA77)
 

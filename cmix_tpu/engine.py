@@ -264,6 +264,8 @@ def _derive(env):
     N_IND = gi("CMIX_N_IND")
     WIKI = gi("WIKI")
     X86X = gi("X86X")
+    if X86X not in (0, 1, 2):
+        raise FormatError(f"X86X={X86X} unsupported (expected 0, 1, 2)")
     GRID2 = gi("GRID2")
     JPEGX = gi("JPEGX")
     # STEMX: 2 suffix-strip stem contexts (stem unigram, stem crossed

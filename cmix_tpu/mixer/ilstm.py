@@ -55,6 +55,17 @@ G_CLIP = 1 << 14            # per-step gradient bound (+-4 in Q12)
 class ILstmConfig:
     hidden: int = 256
     horizon: int = 8
+
+    def __post_init__(self):
+        # exactness bound of _dot16: |a| <= 4096 (Q12) times
+        # |w_hi| <= W_CLIP >> 8 = 1024 times H must stay below 2^31;
+        # H = 256 leaves 4x margin, H = 512 can hit exactly 2^31 with
+        # saturated weights (wraparound would be backend-lowering
+        # dependent, breaking the portable profile's contract)
+        if self.hidden > 256:
+            raise ValueError(
+                f"ILstm hidden={self.hidden} > 256 breaks the _dot16 "
+                "int32 exactness bound (PORT profile)")
     lr_wx: int = 192         # Q16 learning rates (lr/65536 per unit grad)
     lr_wh: int = 96
     lr_wo: int = 96
@@ -112,7 +123,9 @@ def init_ilstm_perblock(cfg: ILstmConfig):
 def _dot16(eq, a, w):
     """Exact integer contraction with Q16 weights: (sum a*w) >> 16.
     w hi/lo split keeps every partial product < 2^23 and sums over
-    H <= 512 below 2^31 (a is Q12, |a| <= 4096)."""
+    H <= 256 below 2^31 with 4x margin (a is Q12, |a| <= 4096;
+    H = 512 with saturated weights can reach exactly 2^31 -- enforced
+    by ILstmConfig.__post_init__)."""
     w_hi = w >> 8
     w_lo = w - (w_hi << 8)
     return ((jnp.einsum(eq, a, w_hi) >> 8)

@@ -6,7 +6,9 @@ ensemble (like the reference, where the predictor IS the format:
 wiring, update rules, or the coder bumps FORMAT_VERSION.
 """
 
-# v18: RUNX default flipped 0->1 (round 4).  gates_blob records only
+# v18 (round 4): CMIX_N_IND default 4->8, CTX3 0->1, new MIX2X=1, the
+# RUNX_N width constant became a gate defaulting to 64 (was a fixed 16),
+# and the JPEGX bank-context set grew 6->8.  gates_blob records only
 # non-default gates, so a defaults flip re-keys the meaning of an absent
 # gate -- every such flip MUST bump the version (decode refuses version
 # mismatch, making the incompatibility loud instead of a silent desync).

@@ -32,7 +32,11 @@ def pytest_collection_modifyitems(config, items):
     # suite -- the documented behavior, not a convention the caller
     # must remember
     import pytest as _pytest
-    if os.environ.get("RUN_SLOW") or config.getoption("-m"):
+    run_slow = os.environ.get("RUN_SLOW") not in (None, "", "0")
+    mexpr = config.getoption("-m") or ""
+    # only a marker expression that actually mentions 'slow' takes over
+    # gating; e.g. `-m foo` must not silently enable the slow matrix
+    if run_slow or "slow" in mexpr:
         return
     skip = _pytest.mark.skip(reason="slow; set RUN_SLOW=1 to enable")
     for item in items:
