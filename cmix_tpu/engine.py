@@ -747,7 +747,12 @@ def init_shared(cfg: EngineConfig):
         "vmatch_conf": jnp.full(32, 0.55, dtype=jnp.float32),
         "lms_conf": jnp.full(16, 0.55, dtype=jnp.float32),
         # PPM symbol counts: one uint8 count per (order, context row, byte)
-        "ppm": jnp.zeros((N_PPM, cfg.prows, 256), dtype=jnp.uint8),
+        # symbol counts packed 4-per-word (byte j of a row lives in
+        # word j>>2, lane j&3): u8 scatters run a per-ELEMENT scalar
+        # loop on TPU (~250 us/step in the r5 census); the u32 layout
+        # moves the same bytes with 4x fewer elements.  Pure repack --
+        # unpacked values are bit-identical.
+        "ppm": jnp.zeros((N_PPM, cfg.prows, 64), dtype=jnp.uint32),
         # per-row 8-bit checksum (256 = virgin): aliased rows read as
         # empty and are replaced at update (mod_ppmd exactness class)
         **({"ppm_ck": jnp.full((N_PPM, cfg.prows), 256, jnp.int32)}
@@ -912,6 +917,12 @@ def init_perblock(cfg: EngineConfig):
                       init_lstm_perblock)(_lstm_cfg(cfg))
     if cfg.dmc_nodes:
         pb.update(dmc.init_dmc_perblock(cfg.dmc_nodes))
+        if cfg.dmc_nodes % 1024 == 0:
+            # tile-native (N/1024, 8, 128) layout: the fused kernel
+            # aliases the tables in/out without (B, N) <-> tiled-layout
+            # copies (same words, pure reshape at init)
+            for k in ("dmc_nxt", "dmc_cnt"):
+                pb[k] = pb[k].reshape(-1, 8, 128)
     return pb
 
 
@@ -1662,7 +1673,11 @@ def _predict_tree_b(cfg, sh, pb, t):
     pbase = mix32(jnp.stack(pcols, axis=1), psalt[None, :])  # (B, NP)
     prowi = ((pbase >> U8) & pmask).astype(jnp.int32)
     p_ar = jnp.arange(N_PPM)
-    ppm_rows = sh["ppm"][p_ar[None, :], prowi]               # (B,NP,256) u8
+    ppm_w = sh["ppm"][p_ar[None, :], prowi]                  # (B,NP,64) u32
+    ppm_rows = jnp.stack(
+        [(ppm_w >> jnp.uint32(8 * j)) & jnp.uint32(0xFF) for j in range(4)],
+        axis=-1).reshape(ppm_w.shape[:2] + (256,)
+                         ).astype(jnp.uint8)                 # (B,NP,256)
     if PPM_CK:
         pck_exp = (pbase & jnp.uint32(0xFF)).astype(jnp.int32)
         pck_ok = sh["ppm_ck"][p_ar[None, :], prowi] == pck_exp
@@ -2271,15 +2286,18 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     prow_new = prow_new + byte_oh * jnp.where(
         upd, jnp.uint8(PPM_INC), jnp.uint8(0))
     p_ar = jnp.arange(N_PPM)
+    pw = prow_new.reshape(prow_new.shape[:2] + (64, 4)).astype(jnp.uint32)
+    prow_new_w = (pw[..., 0] | (pw[..., 1] << jnp.uint32(8))
+                  | (pw[..., 2] << jnp.uint32(16))
+                  | (pw[..., 3] << jnp.uint32(24)))          # (B,NP,64)
     if PORT:
         win_p = _claim_win(N_PPM * cfg.prows,
                            p_ar[None, :] * cfg.prows + aux["prowi"], B)
         prowi_w = jnp.where(win_p, aux["prowi"], cfg.prows)
-        sh["ppm"] = sh["ppm"].at[
-            p_ar[None, :], prowi_w].set(prow_new, mode="drop")
     else:
         prowi_w = aux["prowi"]
-        sh["ppm"] = sh["ppm"].at[p_ar[None, :], aux["prowi"]].set(prow_new)
+    sh["ppm"] = sh["ppm"].at[
+        p_ar[None, :], prowi_w].set(prow_new_w, mode="drop")
     if PPM_CK:
         # claim the row for this context (same winner as the row write)
         sh["ppm_ck"] = sh["ppm_ck"].at[

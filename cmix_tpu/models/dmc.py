@@ -221,10 +221,16 @@ def _make_fused_kernel(n_tiles, sublane_fetch=True):
 
 def _fused_pallas(nxt, cnt, cur, uX, uXC, uS, uSW, uU, uUW,
                   interpret=False, sublane_fetch=True):
-    """-> (nxt', cnt', cw (B,256) u32, vis (B,256) i32, wn (B,128) u32)."""
+    """-> (nxt', cnt', cw (B,256) u32, vis (B,256) i32, wn (B,128) u32).
+
+    Accepts the tables as (B, N) or tile-native (B, N/1024, 8, 128);
+    the 4-D form aliases in/out without the (B, N) <-> tiled layout
+    copies (~90 us/step at B=256)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    B, N = nxt.shape
+    B = nxt.shape[0]
+    four_d = nxt.ndim == 4
+    N = (nxt.shape[1] * 1024) if four_d else nxt.shape[1]
     assert N % 1024 == 0, "fused DMC path needs a whole-tile pool"
     n3 = (N // 1024, 8, 128)
     smem_in = [
@@ -261,9 +267,12 @@ def _fused_pallas(nxt, cnt, cur, uX, uXC, uS, uSW, uU, uUW,
         input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
     )(cur.astype(jnp.int32)[:, None], uX, uXC, uS, uSW, uU, uUW,
-      nxt.reshape((B,) + n3), cnt.reshape((B,) + n3))
+      nxt if four_d else nxt.reshape((B,) + n3),
+      cnt if four_d else cnt.reshape((B,) + n3))
     nxt2, cnt2, cw, vis, wn = out
-    return (nxt2.reshape(B, N), cnt2.reshape(B, N), cw.reshape(B, 256),
+    if not four_d:
+        nxt2, cnt2 = nxt2.reshape(B, N), cnt2.reshape(B, N)
+    return (nxt2, cnt2, cw.reshape(B, 256),
             vis.reshape(B, 256), wn.reshape(B, 128))
 
 
@@ -348,6 +357,15 @@ def _counts_pallas(nxt, cnt, cur, interpret=False, group=1):
     return out.reshape(B, 256)
 
 
+def _g1(tbl, i):
+    """Per-block single-word gather: tbl (B, N) or tile-native
+    (B, N/1024, 8, 128); i (B,) int32 -> (B,)."""
+    if tbl.ndim == 2:
+        return jnp.take_along_axis(tbl, i[:, None], axis=1)[:, 0]
+    b = jnp.arange(tbl.shape[0])
+    return tbl[b, i >> 10, (i >> 7) & 7, i & 127]
+
+
 def _walk_xla(nxt, cnt, cur):
     """-> (cw (B, 2^L) u32, vis (B, 2^L) i32, wn (B, 2^(L-1)) u32).
 
@@ -394,14 +412,21 @@ def predict_step(pb):
     staging of the tables); elsewhere XLA scatters + level gathers --
     identical integer results."""
     nxt, cnt, cur = pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"]
+    four_d = nxt.ndim == 4
+    whole_tile = four_d or nxt.shape[1] % 1024 == 0
     if _DMC_PALLAS and jax.default_backend() == "tpu" \
-            and min(DMC_LEVELS, 8) == 8 and nxt.shape[1] % 1024 == 0:
+            and min(DMC_LEVELS, 8) == 8 and whole_tile:
         nxt2, cnt2, cw, vis, wn = _fused_pallas(
             nxt, cnt, cur, pb["dmc_uX"], pb["dmc_uXC"], pb["dmc_uS"],
             pb["dmc_uSW"], pb["dmc_uU"], pb["dmc_uUW"])
     else:
-        nxt2, cnt2 = _apply_xla(nxt, cnt, pb)
-        cw, vis, wn = _walk_xla(nxt2, cnt2, cur)
+        B = nxt.shape[0]
+        nf = nxt.reshape(B, -1) if four_d else nxt
+        cf = cnt.reshape(B, -1) if four_d else cnt
+        nf, cf = _apply_xla(nf, cf, pb)
+        cw, vis, wn = _walk_xla(nf, cf, cur)
+        nxt2 = nf.reshape(nxt.shape) if four_d else nf
+        cnt2 = cf.reshape(cnt.shape) if four_d else cf
     return ({"dmc_nxt": nxt2, "dmc_cnt": cnt2},
             {"cw": cw, "vis": vis, "wn": wn})
 
@@ -451,7 +476,8 @@ def plan_step(pb, walk, byte):
       nodes are always within limits already).
     """
     nxt, cnt = pb["dmc_nxt"], pb["dmc_cnt"]
-    B, N = nxt.shape[0], nxt.shape[1]
+    B = nxt.shape[0]
+    N = (nxt.shape[1] * 1024) if nxt.ndim == 4 else nxt.shape[1]
     top = jnp.broadcast_to(pb["dmc_top"], (B,)) \
         if pb["dmc_top"].ndim == 0 else pb["dmc_top"]
 
@@ -484,11 +510,9 @@ def plan_step(pb, walk, byte):
     for k in range(8):
         if k >= L:
             s_list.append(t_list[k - 1])
-            cs_list.append(jnp.take_along_axis(
-                cnt, t_list[k - 1][:, None], axis=1)[:, 0])
+            cs_list.append(_g1(cnt, t_list[k - 1]))
         if k >= L - 1:
-            ws_list.append(jnp.take_along_axis(
-                nxt, s_list[k][:, None], axis=1)[:, 0])
+            ws_list.append(_g1(nxt, s_list[k]))
         n0, n1 = _unpack(ws_list[k])
         t_list.append(jnp.where(Bv[:, k] == 1, n1, n0))
     S = jnp.stack(s_list, axis=1)                        # (B, 8)
@@ -501,7 +525,7 @@ def plan_step(pb, walk, byte):
     # ---- 2. target counts + clone decisions from pre-byte state.
     # T_k = S_{k+1} for k < 7, so only T_7 (the next byte's root)
     # needs a fresh gather.
-    cT7 = jnp.take_along_axis(cnt, T[:, 7:8], axis=1)
+    cT7 = _g1(cnt, T[:, 7])[:, None]
     cT = jnp.concatenate([CS[:, 1:], cT7], axis=1)       # (B, 8) packed
     cT0, cT1 = _unpack(cT)
     tot_t = cT0 + cT1
@@ -547,7 +571,7 @@ def plan_step(pb, walk, byte):
     # each traversed edge (S_k, b_k) is redirected to U_k with explicit
     # last-entry-wins merging per node, so duplicate descriptor entries
     # carry identical words.  wT_k = nxt[T_k] = WS_{k+1} for k < 7.
-    wT7 = jnp.take_along_axis(nxt, T[:, 7:8], axis=1)
+    wT7 = _g1(nxt, T[:, 7])[:, None]
     wT = jnp.concatenate([WS[:, 1:], wT7], axis=1)       # (B, 8) packed
     ucl = jnp.where(do_clone, U, -1)                     # -1 = no-op
     ordk = jnp.arange(8)[None, :]
