@@ -150,17 +150,22 @@ _DMC_PALLAS = os.environ.get("DMC_PALLAS", "1") != "0"
 # DMC_PALLAS=0 if a runtime regression reappears.
 
 
-def _make_fused_kernel(n_tiles, sublane_fetch=True):
-    """apply-pending-updates + full walk, one VMEM staging per block.
+def _make_fused_kernel(n_tiles, sublane_fetch=True, levels=8):
+    """apply-pending-updates + walk to ``levels``, one VMEM staging per
+    block.
 
     Grid over B.  Per block: copy the staged nxt/cnt blocks to the
     (input-aliased) outputs, poke the <=40 pending edge-update words in
     VMEM (one-hot blends -- Mosaic has no dynamic lane addressing),
-    then chase the 255-node byte tree and emit the gathered count
-    words, the visited state ids, and the traversed pointer words.
-    Emitting vis/wn costs nothing extra (the chase already has them)
-    and lets plan_step build the next update without re-walking
-    (previously 18 diagonal gathers per byte on the XLA path)."""
+    then chase the byte tree to 2^levels-1 nodes and emit the gathered
+    count words, the visited state ids, and the traversed pointer
+    words.  Emitting vis/wn costs nothing extra (the chase already has
+    them) and lets plan_step build the next update without re-walking
+    (previously 18 diagonal gathers per byte on the XLA path).  At
+    levels<8 the serial fetch chain -- the kernel's bottleneck, ~3.8 ns
+    per masked-reduce fetch -- shrinks 4x (383 -> 95 fetches at L=6);
+    outputs beyond the walked prefix are left unwritten and sliced off
+    by _fused_pallas to match _walk_xla's shapes exactly."""
 
     def kernel(cur_ref, uX_ref, uXC_ref, uS_ref, uSW_ref, uU_ref,
                uUW_ref, nxt_ref, cnt_ref, nxt_o, cnt_o, cw_o, vis_o,
@@ -207,21 +212,21 @@ def _make_fused_kernel(n_tiles, sublane_fetch=True):
         idx[0] = jnp.int32(0)
         idx[1] = cur_ref[pid, 0]
         wn_o[0, 0, 0] = jnp.uint32(0)
-        for n in range(1, 128):
+        for n in range(1, 1 << (levels - 1)):
             w = fetch(nxt_o, idx[n])
             wn_o[0, 0, n] = w
             wi = w.astype(jnp.int32)
             idx[2 * n] = wi & 0xFFFF
             idx[2 * n + 1] = (wi >> 16) & 0xFFFF
-        for j in range(256):
+        for j in range(1 << levels):
             cw_o[0, j >> 7, j & 127] = fetch(cnt_o, idx[j])
             vis_o[0, j >> 7, j & 127] = idx[j]
     return kernel
 
 
 def _fused_pallas(nxt, cnt, cur, uX, uXC, uS, uSW, uU, uUW,
-                  interpret=False, sublane_fetch=True):
-    """-> (nxt', cnt', cw (B,256) u32, vis (B,256) i32, wn (B,128) u32).
+                  interpret=False, sublane_fetch=True, levels=8):
+    """-> (nxt', cnt', cw (B,2^L) u32, vis (B,2^L) i32, wn (B,2^(L-1))).
 
     Accepts the tables as (B, N) or tile-native (B, N/1024, 8, 128);
     the 4-D form aliases in/out without the (B, N) <-> tiled layout
@@ -237,7 +242,7 @@ def _fused_pallas(nxt, cnt, cur, uX, uXC, uS, uSW, uU, uUW,
         pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
         for a in (cur[:, None], uX, uXC, uS, uSW, uU, uUW)]
     out = pl.pallas_call(
-        _make_fused_kernel(N // 1024, sublane_fetch),
+        _make_fused_kernel(N // 1024, sublane_fetch, levels),
         grid=(B,),
         in_specs=smem_in + [
             pl.BlockSpec((1,) + n3, lambda i: (i, 0, 0, 0),
@@ -272,8 +277,11 @@ def _fused_pallas(nxt, cnt, cur, uX, uXC, uS, uSW, uU, uUW,
     nxt2, cnt2, cw, vis, wn = out
     if not four_d:
         nxt2, cnt2 = nxt2.reshape(B, N), cnt2.reshape(B, N)
-    return (nxt2, cnt2, cw.reshape(B, 256),
-            vis.reshape(B, 256), wn.reshape(B, 128))
+    # trim to the walked prefix (slots past it were never written);
+    # shapes then match _walk_xla at the same DMC_LEVELS exactly
+    return (nxt2, cnt2, cw.reshape(B, 256)[:, :1 << levels],
+            vis.reshape(B, 256)[:, :1 << levels],
+            wn.reshape(B, 128)[:, :1 << (levels - 1)])
 
 
 def _make_walk_kernel(group):
@@ -414,11 +422,11 @@ def predict_step(pb):
     nxt, cnt, cur = pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"]
     four_d = nxt.ndim == 4
     whole_tile = four_d or nxt.shape[1] % 1024 == 0
-    if _DMC_PALLAS and jax.default_backend() == "tpu" \
-            and min(DMC_LEVELS, 8) == 8 and whole_tile:
+    if _DMC_PALLAS and jax.default_backend() == "tpu" and whole_tile:
         nxt2, cnt2, cw, vis, wn = _fused_pallas(
             nxt, cnt, cur, pb["dmc_uX"], pb["dmc_uXC"], pb["dmc_uS"],
-            pb["dmc_uSW"], pb["dmc_uU"], pb["dmc_uUW"])
+            pb["dmc_uSW"], pb["dmc_uU"], pb["dmc_uUW"],
+            levels=min(DMC_LEVELS, 8))
     else:
         B = nxt.shape[0]
         nf = nxt.reshape(B, -1) if four_d else nxt

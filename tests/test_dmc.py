@@ -117,3 +117,39 @@ def test_fused_kernel_matches_xla():
     for r, k in ((nxt_r, nxt_k), (cnt_r, cnt_k), (cw_r, cw_k),
                  (vis_r, vis_k), (wn_r, wn_k)):
         assert np.array_equal(np.asarray(r), np.asarray(k))
+
+def test_fused_kernel_matches_xla_trimmed_levels():
+    """DMC_LEVELS<8 trims the kernel's serial fetch chain (the r5 speed
+    lever); outputs must still match the XLA path bit-for-bit at the
+    same levels, including the residual-gather flow in plan_step."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cmix_tpu.models import dmc
+
+    old = dmc.DMC_LEVELS
+    dmc.DMC_LEVELS = 6
+    try:
+        B, N = 4, 5120
+        pb = dmc.init_dmc_perblock(N)
+        pb = {k: jnp.tile(v[None], (B,) + (1,) * v.ndim)
+              for k, v in pb.items()}
+        rng = np.random.RandomState(11)
+        for t in range(60):
+            upd, walk = dmc.predict_step(pb)
+            pb.update(upd)
+            pb.update(dmc.plan_step(
+                {k: pb[k] for k in dmc.DMC_KEYS}, walk,
+                jnp.asarray(rng.randint(0, 256, size=B))))
+        nxt_r, cnt_r = dmc._apply_xla(pb["dmc_nxt"], pb["dmc_cnt"], pb)
+        cw_r, vis_r, wn_r = dmc._walk_xla(nxt_r, cnt_r, pb["dmc_cur"])
+        nxt_k, cnt_k, cw_k, vis_k, wn_k = dmc._fused_pallas(
+            pb["dmc_nxt"], pb["dmc_cnt"], pb["dmc_cur"],
+            pb["dmc_uX"], pb["dmc_uXC"], pb["dmc_uS"], pb["dmc_uSW"],
+            pb["dmc_uU"], pb["dmc_uUW"], interpret=True, levels=6)
+        assert cw_k.shape == cw_r.shape == (B, 64)
+        assert wn_k.shape == wn_r.shape == (B, 32)
+        for r, k in ((nxt_r, nxt_k), (cnt_r, cnt_k), (cw_r, cw_k),
+                     (vis_r, vis_k), (wn_r, wn_k)):
+            assert np.array_equal(np.asarray(r), np.asarray(k))
+    finally:
+        dmc.DMC_LEVELS = old
