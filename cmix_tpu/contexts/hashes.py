@@ -25,6 +25,57 @@ WRTW = 0                # WRT codeword-aware word tracking; set by
 PHI32 = np.uint32(0x9E3779B1)
 PRIME2 = np.uint32(0x85EBCA77)
 
+# WRTW=2 (codeword -> letter-identity decode): per-word-id tables of
+# the EXACT values the letter machinery below would produce for the
+# word's lowercase spelling -- word hash (the mix32 chain over its
+# letters) and stem hash (the chain snapshot before the matched English
+# suffix).  With them, a codeword on a WRT-transformed stream latches
+# the SAME last_word/last_stem identities as the raw spelled-out word
+# would, so word n-gram / stem contexts unify across transformed and
+# untransformed text, and morphological families ("compression" /
+# "compressed") share stems exactly as they do in plain text -- the
+# full in-model dictionary decode of fxcm (src/models/fxcmv1.cpp:
+# 353-438,3780-3795), held as data instead of re-run per byte.
+# Registered by the runner (build_wrtw_tables) before state init; the
+# tables flow as ARRAY OPERANDS via shared state, so no recompile is
+# needed when the dictionary changes -- only WRTW itself is trace-baked.
+WRTW_TAB_N = 32768
+WRTW_TABLES = None
+
+
+def build_wrtw_tables(words):
+    """words: iterable of lowercase spellings ordered by codeword id.
+    -> (word_hash, stem_hash) uint32 arrays of length WRTW_TAB_N
+    (id 0 .. len-1; padding rows are 0 = fall back to the byte hash)."""
+    wt = np.zeros(WRTW_TAB_N, np.uint32)
+    st = np.zeros(WRTW_TAB_N, np.uint32)
+
+    def _mix(h, x):
+        h = np.uint32((int(h) ^ x) * int(PHI32) & 0xFFFFFFFF)
+        return np.uint32(int(h) ^ (int(h) >> 15))
+
+    for i, w in enumerate(words):
+        if i >= WRTW_TAB_N:
+            break
+        h = np.uint32(0)
+        hist = [h]                      # hist[k] = hash of first k letters
+        for ch in w:
+            h = _mix(h, ord(ch))
+            hist.append(h)
+        n = len(w)
+        # suffix rules mirror update_ctx_state_batched's m3/m2/m1 (the
+        # wl cap at 63 is irrelevant for dictionary-length words)
+        if n >= 5 and w[-3:] in ("ing", "ion"):
+            s = hist[n - 3]
+        elif n >= 4 and w[-2:] in ("ed", "er", "es", "ly", "al"):
+            s = hist[n - 2]
+        elif n >= 3 and w[-1] == "s" and w[-2] != "s":
+            s = hist[n - 1]
+        else:
+            s = h
+        wt[i], st[i] = h, s
+    return wt, st
+
 
 def byte_class_map():
     """256 -> 16 byte classes (format constant).
@@ -177,6 +228,8 @@ def init_ctx_state():
         # and remaining continuation bytes of the current codeword
         "cwacc": jnp.zeros((), dtype=jnp.uint32),
         "cwrem": jnp.zeros((), dtype=jnp.uint32),
+        # raw codeword id under construction (WRTW=2 table lookups)
+        "cwid": jnp.zeros((), dtype=jnp.uint32),
     }
 
 
@@ -240,10 +293,12 @@ def bracket_ctx(cs):
     return tid * jnp.uint32(64) + dist
 
 
-def update_ctx_state_batched(cs, bytes_b):
+def update_ctx_state_batched(cs, bytes_b, wrtw_tab=None):
     """Advance batched context state by one byte per block.
 
     cs leaves have a leading batch dim; bytes_b is uint32 (B,).
+    wrtw_tab: None, or ((N,) u32 word-hash, (N,) u32 stem-hash) device
+    tables (WRTW=2 -- see build_wrtw_tables).
     """
     b = bytes_b.astype(jnp.uint32)
     ohash = cs["ohash"]                                    # (B, MAX_ORDER+1)
@@ -354,11 +409,41 @@ def update_ctx_state_batched(cs, bytes_b):
         cw_done = in_cw & (rem_new == 0)
         cwrem = jnp.where(is_esc, jnp.uint32(15),
                           jnp.where(in_cw, rem_new, jnp.uint32(0)))
+        if WRTW >= 2:
+            # decode the raw codeword id alongside the byte hash
+            # (codeword layout is preprocess/wrt.py _emit_code: 1-byte
+            # ids < 64, 2-byte ids < 64 + 48*256, 3-byte the rest)
+            n1, n2 = jnp.uint32(64), jnp.uint32(48 * 256)
+            lead_id = jnp.where(
+                b >= jnp.uint32(0xF0),
+                n1 + n2 + ((b - jnp.uint32(0xF0)) << jnp.uint32(16)),
+                jnp.where(b >= jnp.uint32(0xC0),
+                          n1 + ((b - jnp.uint32(0xC0)) << jnp.uint32(8)),
+                          b - jnp.uint32(0x80)))
+            cwid = jnp.where(
+                lead, lead_id,
+                jnp.where((cs["cwrem"] > 0) & ~esc_pend,
+                          cs["cwid"] + (b << (jnp.uint32(8) * rem_new)),
+                          cs["cwid"]))
+        else:
+            cwid = cs["cwid"]
         last_word2 = jnp.where(cw_done, last_word, last_word2)
-        last_word = jnp.where(cw_done, cwacc, last_word)
-        last_stem = jnp.where(cw_done, cwacc, last_stem)
+        if WRTW >= 2 and wrtw_tab is not None:
+            wi = jnp.minimum(cwid, jnp.uint32(WRTW_TAB_N - 1)
+                             ).astype(jnp.int32)
+            tw = wrtw_tab[0][wi]
+            ts = wrtw_tab[1][wi]
+            # out-of-table ids (padding rows = 0) keep the byte-hash
+            # identity -- deterministic on both coder sides either way
+            tw = jnp.where(tw != 0, tw, cwacc)
+            ts = jnp.where(ts != 0, ts, cwacc)
+            last_word = jnp.where(cw_done, tw, last_word)
+            last_stem = jnp.where(cw_done, ts, last_stem)
+        else:
+            last_word = jnp.where(cw_done, cwacc, last_word)
+            last_stem = jnp.where(cw_done, cwacc, last_stem)
     else:
-        cwacc, cwrem = cs["cwacc"], cs["cwrem"]
+        cwacc, cwrem, cwid = cs["cwacc"], cs["cwrem"], cs["cwid"]
     wordlen = jnp.where(is_letter == 1,
                         jnp.minimum(cs["wordlen"] + 1, jnp.uint32(63)),
                         jnp.zeros_like(cs["wordlen"]))
@@ -433,7 +518,7 @@ def update_ctx_state_batched(cs, bytes_b):
             "brk_stack": stack, "brk_depth": depth,
             "bytecnt": cs["bytecnt"] + 1,
             "lbuf": lbuf, "plbuf": plbuf, "plen": plen, "lml": lml,
-            "cwacc": cwacc, "cwrem": cwrem,
+            "cwacc": cwacc, "cwrem": cwrem, "cwid": cwid,
             "cellidx": cellidx, "cellpos": cellpos, "cellbuf": cellbuf,
             "pcellbuf": pcellbuf, "listdepth": listdepth,
             "listchar": listchar, "lsflag": lsflag}

@@ -126,7 +126,13 @@ _GATE_SPEC = (
     ("WRTW", int, "0"),    # codeword-aware words; content-routed: the
     #                        runner turns it on when the archive applied
     #                        the WRT transform (fxcm's in-model codeword
-    #                        decode, fxcmv1.cpp:353-438)
+    #                        decode, fxcmv1.cpp:353-438).  1 = hash the
+    #                        codeword bytes as the word identity; 2 =
+    #                        decode the codeword id and latch the
+    #                        dictionary word's LETTER identities from
+    #                        registered tables (hashes.build_wrtw_tables)
+    #                        so transformed and raw text share word/stem
+    #                        contexts
     ("CTX2", int, "1"),    # r3 probe: text -0.15%
     ("CTX3", int, "1"),    # 8 more width contexts; r4 W1/W8: small win
     ("BANK_CH", int, "1"),
@@ -251,6 +257,7 @@ def _derive(env):
     global W_APM_LEARN, MIX_NORM, STAT_NORM, APM2X, APM3X, SSE2, N_APM
     global APM_ROWS
     global APM_FIXED, CNT_CAP, _SBANK_NEXT, _SBANK_P0, GATES, PORT
+    global WRTW
 
     GATES = {name: _norm_gate(name, typ, env.get(name, dflt))
              for name, typ, dflt in _GATE_SPEC}
@@ -273,7 +280,8 @@ def _derive(env):
     # of fxcm/paq8 text models (fxcmv1.cpp:2662-3209, paq8.cpp:1530-2998)
     STEMX = gi("STEMX")
     import cmix_tpu.contexts.hashes as _hashes_mod
-    _hashes_mod.WRTW = gi("WRTW")
+    WRTW = gi("WRTW")
+    _hashes_mod.WRTW = WRTW
     # CTX2: 8 further text/structure contexts toward the reference's
     # layer-0 width (paq8 TextModel's 33 contexts, paq8.cpp:3070-3185;
     # fxcm sentence/word streams, fxcmv1.cpp:2157-2453): word trigram,
@@ -868,6 +876,17 @@ def init_shared(cfg: EngineConfig):
     if cfg.lstm_hidden:
         sh["lstm"] = (init_ilstm_shared if PORT else
                       init_lstm_shared)(_lstm_cfg(cfg))
+    if WRTW >= 2:
+        # codeword -> letter-identity tables (WRTW=2); registered by the
+        # runner from the archive's dictionary.  Array operands, so a
+        # dictionary change needs no recompile (replicated on the mesh).
+        import cmix_tpu.contexts.hashes as _hashes_mod
+        tabs = _hashes_mod.WRTW_TABLES
+        if tabs is None:
+            z = np.zeros(_hashes_mod.WRTW_TAB_N, np.uint32)
+            tabs = (z, z)
+        sh["wrtw_word"] = jnp.asarray(tabs[0])
+        sh["wrtw_stem"] = jnp.asarray(tabs[1])
     return sh
 
 
@@ -2984,7 +3003,9 @@ def make_byte_step(cfg: EngineConfig):
         pb["rec_lastpos"] = jnp.where(lane256, t, pb["rec_lastpos"])
 
         pb["ctx"] = update_ctx_state_batched(
-            pb["ctx"], byte.astype(jnp.uint32))
+            pb["ctx"], byte.astype(jnp.uint32),
+            wrtw_tab=((sh["wrtw_word"], sh["wrtw_stem"])
+                      if WRTW >= 2 else None))
         pb["x86"] = x86_update(pb["x86"], byte.astype(jnp.uint32))
         sh, pb = _aux_writes_b(cfg, sh, pb, byte, t, ind_key_prev,
                                ind_prev_val)

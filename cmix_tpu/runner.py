@@ -135,7 +135,25 @@ def _load_dictionary(dictionary):
     with open(dictionary, "rb") as f:
         dict_bytes = f.read()
     from cmix_tpu.utils.checkpoint import dict_fingerprint
-    return d, dict_bytes, dict_fingerprint(dict_bytes)
+    fp = dict_fingerprint(dict_bytes)
+    _register_wrtw_tables(d, fp)
+    return d, dict_bytes, fp
+
+
+_WRTW_TAB_FP = None
+
+
+def _register_wrtw_tables(d, fp):
+    """Build + register the WRTW=2 codeword->letter-identity tables for
+    this dictionary (hashes.build_wrtw_tables; keyed by fingerprint so a
+    dictionary switch rebuilds).  The tables enter the engine as shared-
+    state ARRAY operands -- registration itself forces no recompile."""
+    global _WRTW_TAB_FP
+    from cmix_tpu.contexts import hashes as _h
+    if _WRTW_TAB_FP == fp and _h.WRTW_TABLES is not None:
+        return
+    _h.WRTW_TABLES = _h.build_wrtw_tables([w.lower() for w in d.words])
+    _WRTW_TAB_FP = fp
 
 
 def _pretrained_base(cfg, dict_bytes):

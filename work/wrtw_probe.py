@@ -27,6 +27,9 @@ def main():
     name = os.environ.get("FILE", "nat1m")
     data = open(f"/root/repo/testdata/{name}.raw", "rb").read()
     d = Dictionary("/root/repo/cmix_tpu/data/english.dic")
+    if int(os.environ.get("WRTW", "0")) >= 2:
+        from cmix_tpu.runner import _register_wrtw_tables
+        _register_wrtw_tables(d, b"probe")
     payload, seg_meta = transform(data, d)
     cfg = EngineConfig(block_size=int(os.environ.get("BLKSZ", 1 << 17)),
                        tbits=int(os.environ.get("TBITS", 22)),
