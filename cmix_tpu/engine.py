@@ -157,6 +157,10 @@ _GATE_SPEC = (
     ("DMC_LEVELS", int, "8"),
     ("PORT", int, "0"),
     ("ILSTM_LRX", int, "4"),   # integer-LSTM LR scale, /4 (PORT only)
+    ("ILSTM_ADAM", int, "0"),  # integer Adam-class optimizer for the
+    #                            PORT LSTM (power-of-2 denominator,
+    #                            mixer/ilstm.py); ILSTM_LRX scales its
+    #                            step sizes too
 
 )
 GATES = {}          # live normalized gate values (str -> str)
@@ -570,6 +574,12 @@ _JBAND = np.concatenate([
     np.arange(6), np.full(4, 6), np.full(6, 7), np.full(12, 8),
     np.full(36, 9)]).astype(np.int32)     # (64,)
 JVAL_ROWS = 4 * 10 * 8 * 8                # comp x band x magN x magW
+# JVAL=2 backoff tier: per (component, exact zigzag position) byte
+# distribution.  The fine (comp,band,magN,magW) tier sees ~24 samples
+# per row on a 61 KB image (the r5 neutrality diagnosis); this coarse
+# family sees ~240 -- the stationary "typical value at this position"
+# signal the hashed contexts must otherwise learn online bit-by-bit.
+JVAL2_ROWS = 4 * 64
 APM_RATE = 0.02            # SSE node update rate
 POS_BITS = 24              # match table: low bits position, high bits block
 PRETRAIN_SEG = 4096        # fixed pretrain segment length (format-defining:
@@ -661,7 +671,10 @@ def _lstm_cfg(cfg: EngineConfig):
         return ILstmConfig(hidden=cfg.lstm_hidden,
                            horizon=cfg.lstm_horizon,
                            lr_wx=192 * x // 4, lr_wh=96 * x // 4,
-                           lr_wo=96 * x // 4, lr_b=48 * x // 4)
+                           lr_wo=96 * x // 4, lr_b=48 * x // 4,
+                           adam=bool(int(GATES["ILSTM_ADAM"])),
+                           alr_wx=40 * x // 4, alr_wh=20 * x // 4,
+                           alr_wo=20 * x // 4, alr_b=10 * x // 4)
     return LstmConfig(hidden=cfg.lstm_hidden, layers=cfg.lstm_layers,
                       horizon=cfg.lstm_horizon)
 
@@ -769,6 +782,8 @@ def init_shared(cfg: EngineConfig):
         # byte counts per (component, band, magN, magW) context
         **({"jval": jnp.zeros((JVAL_ROWS, 256), jnp.uint8)}
            if JVAL else {}),
+        **({"jval2": jnp.zeros((JVAL2_ROWS, 256), jnp.uint8)}
+           if JVAL >= 2 else {}),
         "ppm_see": jnp.asarray(_see_init()),
 
         # state bank: packed (state | st13) per (model, context row, node)
@@ -1299,6 +1314,11 @@ def _record_ctx_vals(cfg, pb, t):
                     + _magq(lfj).astype(jnp.int32))
             jx = {"jctx": jnp.where(valid, jctx, 0).astype(jnp.int32),
                   "jvalid": valid}
+            if JVAL >= 2:
+                jctx2 = comp * 64 + (ck & jnp.uint32(63)).astype(
+                    jnp.int32)
+                jx["jctx2"] = jnp.where(valid, jctx2, 0).astype(
+                    jnp.int32)
         else:
             jx = None
     else:
@@ -1825,21 +1845,20 @@ def _predict_tree_b(cfg, sh, pb, t):
         # the direct (comp, band, magN, magW) context, folded onto the
         # byte tree through its cumulative distribution (the same
         # interval decomposition the LSTM head and PPM use)
-        jrows = sh["jval"][jx["jctx"]]                       # (B, 256) u8
-        if PORT:
-            jq = jrows.astype(jnp.int32) * 16 + 1            # 16ths
-            jqc = jnp.concatenate(
-                [jnp.zeros((B, 1), jnp.int32),
-                 jnp.cumsum(jq, axis=1)], axis=1)
-            j_lo = jqc[:, jnp.asarray(_LO)]
-            j_hi = jqc[:, jnp.asarray(_HI)]
-            j_mid = jqc[:, jnp.asarray(_MID)]
-            jp12 = jnp.clip(((j_hi - j_mid) << 12)
-                            // jnp.maximum(j_hi - j_lo, 1), 1, 4095)
-            st_jv = jnp.where(jx["jvalid"][:, None],
-                              stretch13_from_p12(jp12) - 4096,
-                              0)[:, None, :]
-        else:
+        def _jval_channel(jrows):
+            if PORT:
+                jq = jrows.astype(jnp.int32) * 16 + 1        # 16ths
+                jqc = jnp.concatenate(
+                    [jnp.zeros((B, 1), jnp.int32),
+                     jnp.cumsum(jq, axis=1)], axis=1)
+                j_lo = jqc[:, jnp.asarray(_LO)]
+                j_hi = jqc[:, jnp.asarray(_HI)]
+                j_mid = jqc[:, jnp.asarray(_MID)]
+                jp12 = jnp.clip(((j_hi - j_mid) << 12)
+                                // jnp.maximum(j_hi - j_lo, 1), 1, 4095)
+                return jnp.where(jx["jvalid"][:, None],
+                                 stretch13_from_p12(jp12) - 4096,
+                                 0)[:, None, :]
             jq = jrows.astype(jnp.float32) + 0.0625
             jqc = jnp.concatenate(
                 [jnp.zeros((B, 1), jnp.float32),
@@ -1850,11 +1869,19 @@ def _predict_tree_b(cfg, sh, pb, t):
             jp = jnp.clip((j_hi - j_mid)
                           / jnp.maximum(j_hi - j_lo, 1e-9),
                           1e-5, 1 - 1e-5)
-            st_jv = jnp.where(jx["jvalid"][:, None], _stretch_f(jp),
-                              0.0)[:, None, :]
-        jvx = [st_jv]
+            return jnp.where(jx["jvalid"][:, None], _stretch_f(jp),
+                             0.0)[:, None, :]
+
+        jrows = sh["jval"][jx["jctx"]]                       # (B, 256) u8
+        jvx = [_jval_channel(jrows)]
+        if JVAL >= 2:
+            jrows2 = sh["jval2"][jx["jctx2"]]
+            jvx.append(_jval_channel(jrows2))
+        else:
+            jrows2 = None
     else:
         jrows = None
+        jrows2 = None
         jvx = []
     x = jnp.concatenate(
         [st_bank, st_d0[:, None, :], st_d12, st_match, st_lstm, st_ppm,
@@ -2126,7 +2153,8 @@ def _predict_tree_b(cfg, sh, pb, t):
                rx_rows=rx_rows, rx_byte=rx_byte, rx_b=rx_b,
                rx_conf=rx_conf, rx_alive=rx_alive, rx_bit=rx_bit,
                lms_med=(lms_med if LMS == 2 else None),
-               dmc_walk=dmc_walk, jx=jx, jval_rows=jrows if JVAL else None)
+               dmc_walk=dmc_walk, jx=jx, jval_rows=jrows if JVAL else None,
+               jval_rows2=jrows2 if JVAL >= 2 else None)
     return p_tree, aux
 
 
@@ -2325,17 +2353,22 @@ def _update_tree_b(cfg, sh, pb, aux, byte, t):
     # ---- JVAL: bump the observed byte's count in the coefficient-value
     # distribution (halve the row first when it would overflow uint8)
     if JVAL:
-        jr = aux["jval_rows"]                                # (B, 256) u8
-        obs_j = jnp.einsum("bk,bk->b", byte_ohi,
-                           jr.astype(jnp.int32))[:, None]    # (B, 1)
-        jr = jnp.where(obs_j >= 256 - 4, jr >> jnp.uint8(1), jr)
-        jr = jr + byte_ohi.astype(jnp.uint8) * jnp.uint8(4)
-        jidx = jnp.where(aux["jx"]["jvalid"], aux["jx"]["jctx"],
-                         JVAL_ROWS)
-        if PORT:
-            win_j = _claim_win(JVAL_ROWS + 1, jidx[:, None], B)[:, 0]
-            jidx = jnp.where(win_j, jidx, JVAL_ROWS)
-        sh["jval"] = sh["jval"].at[jidx].set(jr, mode="drop")
+        def _jval_bump(key, rows, ctx_key, n_rows):
+            jr = rows                                        # (B, 256) u8
+            obs_j = jnp.einsum("bk,bk->b", byte_ohi,
+                               jr.astype(jnp.int32))[:, None]  # (B, 1)
+            jr = jnp.where(obs_j >= 256 - 4, jr >> jnp.uint8(1), jr)
+            jr = jr + byte_ohi.astype(jnp.uint8) * jnp.uint8(4)
+            jidx = jnp.where(aux["jx"]["jvalid"], aux["jx"][ctx_key],
+                             n_rows)
+            if PORT:
+                win_j = _claim_win(n_rows + 1, jidx[:, None], B)[:, 0]
+                jidx = jnp.where(win_j, jidx, n_rows)
+            sh[key] = sh[key].at[jidx].set(jr, mode="drop")
+
+        _jval_bump("jval", aux["jval_rows"], "jctx", JVAL_ROWS)
+        if JVAL >= 2:
+            _jval_bump("jval2", aux["jval_rows2"], "jctx2", JVAL2_ROWS)
 
     # ---- SEE: adapt escape estimates toward observed escape events
     # (escape at order o <=> the coded byte had count 0 in that row;

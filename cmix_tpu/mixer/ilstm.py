@@ -70,6 +70,20 @@ class ILstmConfig:
     lr_wh: int = 96
     lr_wo: int = 96
     lr_b: int = 48
+    # Integer Adam-class optimizer (gate ILSTM_ADAM; VERDICT r4 #9).
+    # Per-weight first/second-moment EMAs in int32 and a POWER-OF-2
+    # denominator: s = ceil(bits(v)/2) approximates log2(sqrt(v)), so
+    # the normalized step is (m << 12) >> s -- within 2x of true
+    # m/sqrt(v), needs no integer division anywhere (the exactness/
+    # portability contract), and fixes the plain-SGD path's floor-
+    # division small-gradient asymmetry (grad // nrm floors toward
+    # -inf, so tiny negative gradients moved weights while tiny
+    # positive ones did not).
+    adam: bool = False
+    alr_wx: int = 40         # Q12 Adam step sizes (step ~ alr per byte
+    alr_wh: int = 20         # at full |m/sqrt(v)| = 1)
+    alr_wo: int = 20
+    alr_b: int = 10
 
 
 def init_ilstm_shared(cfg: ILstmConfig, seed: int = 0x5A17):
@@ -97,13 +111,18 @@ def init_ilstm_shared(cfg: ILstmConfig, seed: int = 0x5A17):
         return ((z % np.uint64(2 * scale + 1)).astype(np.int64)
                 - scale).astype(np.int32)
 
-    return {
+    sh = {
         "wx": jnp.asarray(rnd(256 * 3 * h, 256).reshape(256, 3 * h)),
         "wh": jnp.asarray(rnd(h * 3 * h, 2048).reshape(h, 3 * h)),
         "wo": jnp.asarray(rnd(h * 256, 2048).reshape(h, 256)),
         "b": jnp.zeros(3 * h, jnp.int32),
         "bo": jnp.zeros(256, jnp.int32),
     }
+    if cfg.adam:
+        for k in ("wx", "wh", "wo", "b", "bo"):
+            sh["m_" + k] = jnp.zeros_like(sh[k])
+            sh["v_" + k] = jnp.zeros_like(sh[k])
+    return sh
 
 
 def init_ilstm_perblock(cfg: ILstmConfig):
@@ -239,21 +258,66 @@ def ilstm_shared_byte_update(cfg: ILstmConfig, sh, pb, bytes_b):
         dh = _dot16("bk,hk->bh", jnp.clip(dpre, -2047, 2047), sh["wh"])
         dc = (dc * f) >> 12
 
-    # ---- mean-over-batch SGD (batch-invariant semantics, STAT_NORM
-    # spirit), integer division exact everywhere
-    nrm = B * W
+    if cfg.adam:
+        # ---- integer Adam (power-of-2 denominator; see ILstmConfig).
+        # Scale-free in the raw gradient sums, so the B*W mean division
+        # (and its floor asymmetry) disappears entirely.
+        def _bits(v):
+            n = jnp.zeros_like(v)
+            x = v
+            for k in (16, 8, 4, 2, 1):
+                big = x >= (1 << k)
+                n = n + jnp.where(big, k, 0)
+                x = jnp.where(big, x >> k, x)
+            return n + jnp.where(x > 0, 1, 0)
 
-    def upd(wkey, grad, lr, clip):
-        g = jnp.clip(grad // nrm, -G_CLIP, G_CLIP)
-        return jnp.clip(sh[wkey] - ((lr * g) >> 12), -clip, clip)
+        # static batch-scale pre-shift (exact arithmetic shift): keeps
+        # the raw B*W gradient sums inside the +-2^15 square-safe range
+        # without the floor-division bias; Adam's sqrt(v) normalization
+        # absorbs the residual power-of-2 scale
+        pre_sh = max(0, (B * W).bit_length() - 5)
 
-    sh = {
-        "wx": upd("wx", gwx, cfg.lr_wx, PRE_CLIP),
-        "wh": upd("wh", gwh, cfg.lr_wh, W_CLIP),
-        "wo": upd("wo", gwo, cfg.lr_wo, W_CLIP),
-        "b": upd("b", gb, cfg.lr_b, PRE_CLIP),
-        "bo": upd("bo", gbo, cfg.lr_b, PRE_CLIP),
-    }
+        def upd(wkey, grad, alr, clip):
+            g = jnp.clip(jax.lax.shift_right_arithmetic(grad, pre_sh),
+                         -(1 << 15), 1 << 15)
+            m = sh["m_" + wkey] + ((g - sh["m_" + wkey] + 4) >> 3)
+            g2 = g * g                                   # <= 2^28
+            v = sh["v_" + wkey] + ((g2 - sh["v_" + wkey] + 32) >> 6)
+            s = (_bits(v) + 1) >> 1                      # ~log2 sqrt(v)
+            ratio = jnp.clip(
+                jax.lax.shift_right_arithmetic(m << 12, s),
+                -8192, 8192)                             # ~Q12 m/sqrt(v)
+            w = jnp.clip(sh[wkey] - ((alr * ratio) >> 12), -clip, clip)
+            return w, m, v
+
+        new = {}
+        for wkey, grad, alr, clip in (
+                ("wx", gwx, cfg.alr_wx, PRE_CLIP),
+                ("wh", gwh, cfg.alr_wh, W_CLIP),
+                ("wo", gwo, cfg.alr_wo, W_CLIP),
+                ("b", gb, cfg.alr_b, PRE_CLIP),
+                ("bo", gbo, cfg.alr_b, PRE_CLIP)):
+            w, m, v = upd(wkey, grad, alr, clip)
+            new[wkey] = w
+            new["m_" + wkey] = m
+            new["v_" + wkey] = v
+        sh = new
+    else:
+        # ---- mean-over-batch SGD (batch-invariant semantics, STAT_NORM
+        # spirit), integer division exact everywhere
+        nrm = B * W
+
+        def upd(wkey, grad, lr, clip):
+            g = jnp.clip(grad // nrm, -G_CLIP, G_CLIP)
+            return jnp.clip(sh[wkey] - ((lr * g) >> 12), -clip, clip)
+
+        sh = {
+            "wx": upd("wx", gwx, cfg.lr_wx, PRE_CLIP),
+            "wh": upd("wh", gwh, cfg.lr_wh, W_CLIP),
+            "wo": upd("wo", gwo, cfg.lr_wo, W_CLIP),
+            "b": upd("b", gb, cfg.lr_b, PRE_CLIP),
+            "bo": upd("bo", gbo, cfg.lr_b, PRE_CLIP),
+        }
 
     # ---- slide the window start over the oldest ring byte (new params)
     h0, c0, _ = _cell(sh, pb["h0"], pb["c0"], ring[:, 0])

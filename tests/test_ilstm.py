@@ -66,3 +66,36 @@ def test_port_lstm_roundtrip():
     finally:
         if engine.apply_gates(prev):
             runner._TRANSCODER_CACHE.clear()
+
+
+def _run_cfg(cfg, seq, n_steps, b=1):
+    sh = init_ilstm_shared(cfg)
+    pb = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (b,) + (1,) * x.ndim),
+        init_ilstm_perblock(cfg))
+    step = jax.jit(lambda sh, pb, by: ilstm_shared_byte_update(
+        cfg, sh, pb, by))
+    for i in range(n_steps):
+        sh, pb = step(sh, pb, jnp.full((b,), seq[i % len(seq)], jnp.int32))
+    return sh, pb, seq[n_steps % len(seq)]
+
+
+def test_adam_learns_and_bounded():
+    """Integer Adam (ILSTM_ADAM): learns the repeated pattern at least
+    as well as SGD, weights stay inside the portability clips."""
+    from cmix_tpu.mixer.ilstm import W_CLIP
+    cfg = ILstmConfig(hidden=64, horizon=4, adam=True)
+    sh, pb, nxt = _run_cfg(cfg, b"abcabcabcabc", 1800)
+    q = np.asarray(pb["qcum"])
+    p = (q[0, nxt + 1] - q[0, nxt]) / max(int(q[0, -1]), 1)
+    assert p > 0.25, f"p(correct)={p} after 1800 bytes (adam)"
+    assert int(np.abs(np.asarray(sh["wh"])).max()) <= W_CLIP
+    assert int(np.abs(np.asarray(sh["wo"])).max()) <= W_CLIP
+
+
+def test_adam_state_shapes():
+    cfg = ILstmConfig(hidden=32, horizon=2, adam=True)
+    sh = init_ilstm_shared(cfg)
+    for k in ("wx", "wh", "wo", "b", "bo"):
+        assert sh["m_" + k].shape == sh[k].shape
+        assert sh["v_" + k].shape == sh[k].shape
