@@ -256,7 +256,7 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     want_wrtw = 1 if (flags & _FLAG_WRT) and d is not None else 0
     prev_gates = engine.gates_blob()
     if engine.update_gates({"JPEGX": want_jpegx, "GRID2": want_grid2,
-                            "JVAL": want_jpegx,
+                            "JVAL": 2 * want_jpegx,
                             "X86X": want_x86, "WRTW": want_wrtw}):
         _TRANSCODER_CACHE.clear()
     try:
