@@ -50,6 +50,12 @@ def main():
     from cmix_tpu.runner import get_transcoder, _group_state, _split_blocks
 
     log(f"devices: {jax.devices()}")
+    # Bench profile: DMC_LEVELS=7 trims the DMC kernel's serial fetch
+    # chain (383 -> 191 fetches/block) for +6.5% throughput at +0.6%
+    # bpb (r5 A1e: 1.226 @ 0.0708 vs 1.219 @ 0.0665 at L8) -- measured
+    # under the 1.23 quality bar.  The quality default stays L8.
+    import cmix_tpu.engine as _engine
+    _engine.update_gates({"DMC_LEVELS": 7})
     cfg = EngineConfig(block_size=1 << 14, tbits=18, mbits=18, ibits=16,
                        lstm_hidden=256, seg_size=2048)
     data = build_corpus(mb=4)

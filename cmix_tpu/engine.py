@@ -135,6 +135,10 @@ _GATE_SPEC = (
     #                        contexts
     ("CTX2", int, "1"),    # r3 probe: text -0.15%
     ("CTX3", int, "1"),    # 8 more width contexts; r4 W1/W8: small win
+    ("CTX4", int, "0"),    # r5 width tier: stem cross, class-mask o8,
+    #                        DISTANCE model (paq8.cpp:4598), word-bigram
+    #                        x byte, folded o4, vowel shape, tag x word,
+    #                        bracket x word
     ("BANK_CH", int, "1"),
     ("RUNX", int, "1"),
     ("RUNX_N", int, "64"),   # run channels across the whole bank (r4 W2)
@@ -248,7 +252,8 @@ def _derive(env):
     gate name -> raw string; missing names take their defaults).  Called
     once at import with os.environ, and again by apply_gates when a
     decoded archive pins different gates."""
-    global N_IND, WIKI, X86X, GRID2, JPEGX, STEMX, CTX2, CTX3, N_BANK
+    global N_IND, WIKI, X86X, GRID2, JPEGX, STEMX, CTX2, CTX3, CTX4
+    global N_BANK
     global MATCH_ORDERS, N_MATCH, MATCH2
     global PPM_CK, PPM_DEEP
     global PPM_ORDERS, N_PPM, PPM_EXCL, PPM_UPD, BANK_CK, MIX_DYN3
@@ -299,8 +304,9 @@ def _derive(env):
     # stem-prefix x byte) -- viable past N_BANK=64 only since the
     # bank-table chunking (BANK_SPLIT) removed the backend cliff
     CTX3 = gi("CTX3")
+    CTX4 = gi("CTX4")
     N_BANK = (47 + N_IND + 4 * WIKI + 2 * X86X + 2 * GRID2 + 8 * JPEGX
-              + 2 * STEMX + 8 * CTX2 + 8 * CTX3)
+              + 2 * STEMX + 8 * CTX2 + 8 * CTX3 + 8 * CTX4)
     #          25 ctx-hash + 4 record + 7 text + 4 x86 + 6 analog/xml
     #          + 2 line-grid + N_IND double-indirect
     MATCH_ORDERS = tuple(
@@ -1017,7 +1023,13 @@ def _qdelta(a, b):
             + (d < 0).astype(jnp.int32)).astype(jnp.uint32)
 
 
-def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
+_IS_VOWEL = np.zeros(256, np.int32)
+for _c in b"aeiouAEIOU":
+    _IS_VOWEL[_c] = 1
+
+
+def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None,
+                  dist_b1=None):
     """uint32[B, N_BANK] per-byte context values for the model bank.
 
     rec_vals: uint32 (B, 4) record-grid context values (see
@@ -1166,6 +1178,39 @@ def _bank_bases_b(cs, ind_val, rec_vals, x86_vals, x86_state=None):
                           + jnp.uint32(0x923F)))
         vals.append(oh[:, 14])                               # order-14
         vals.append(mix32(cs["word_pfx"], b1 + jnp.uint32(0xAB1C)))
+    if CTX4:
+        # r5 width tier (paq8 TextModel/sparse-mask/distance families,
+        # src/models/paq8.cpp:3070-3185,4504,4598): stem crossing, full
+        # class-mask order-8, the DISTANCE model (gap between the last
+        # two occurrences of the previous byte), completed-word bigram
+        # x byte, case-folded order-4, vowel-shape of the word tail,
+        # xml-tag x word, bracket-scope x word
+        vals.append(mix32(cs["last_stem"],
+                          cs["word"] + jnp.uint32(0xC67178F2)))
+        vals.append(mix32(cs["clsreg"], jnp.uint32(0xD5A79147)))
+        d = jnp.maximum(dist_b1, 1).astype(jnp.uint32) \
+            if dist_b1 is not None else jnp.ones_like(b1)
+        dkey = jnp.where(d < 32, d,
+                         jnp.uint32(32)
+                         + _floor_log2_i(d.astype(jnp.int32)
+                                         ).astype(jnp.uint32))
+        vals.append(mix32(b1 | (dkey << U8), jnp.uint32(0x06CA6351)))
+        vals.append(mix32(mix32(cs["last_word2"], cs["last_word"]),
+                          b1 + jnp.uint32(0x14292967)))
+        vals.append(mix32(l4 | jnp.uint32(0x20202020),
+                          jnp.uint32(0x27B70A85)))
+        vw = jnp.zeros_like(b1)
+        for j in range(4):
+            lj = (cs["wtail"] >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)
+            vw = vw | (_take_cols(jnp.asarray(_IS_VOWEL),
+                                  lj.astype(jnp.int32)).astype(jnp.uint32)
+                       << jnp.uint32(j))
+        vals.append(mix32(vw | (jnp.minimum(cs["wordlen"], jnp.uint32(15))
+                                << jnp.uint32(4)),
+                          b1 + jnp.uint32(0x2E1B2138)))
+        vals.append(mix32(cs["tag"], cs["word"] + jnp.uint32(0x4D2C6DFC)))
+        vals.append(mix32(bracket_ctx(cs),
+                          cs["word"] + jnp.uint32(0x53380D13)))
     v = jnp.stack(vals, axis=1)                              # (B, NM)
     salt = jnp.arange(N_BANK, dtype=jnp.uint32) * PRIME2
     return mix32(v, salt[None, :]), vals[24], above_l, v_alive
@@ -1566,8 +1611,15 @@ def _predict_tree_b(cfg, sh, pb, t):
     level = jnp.asarray(_LEVEL)
     rec_vals, rec_rl, rec_posr, jx = _record_ctx_vals(cfg, pb, t)
     x86_vals, x86_gate = x86_ctx_vals(pb["x86"])
+    dist_b1 = None
+    if CTX4:
+        # distance-model operand: gap between the last two occurrences
+        # of the previous byte (rec_stride is keyed by byte value)
+        b1i = (cs["last4"] & jnp.uint32(0xFF)).astype(jnp.int32)
+        dist_b1 = pb["rec_stride"][jnp.arange(b1i.shape[0]), b1i]
     bases, brctx, above_l, v_alive = _bank_bases_b(
-        cs, pb["ind_val"], rec_vals, x86_vals, pb["x86"])
+        cs, pb["ind_val"], rec_vals, x86_vals, pb["x86"],
+        dist_b1=dist_b1)
     brctx = brctx.astype(jnp.int32)
     B = bases.shape[0]
 
