@@ -253,7 +253,10 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
         e[0] == SEG_EXE for e in seg_meta)) else 0
     # - WRTW: codeword-aware word tracking -- meaningful exactly when
     #   the payload is WRT-transformed (codewords replace words there).
-    want_wrtw = 1 if (flags & _FLAG_WRT) and d is not None else 0
+    # WRTW_ROUTE env: probe override for the codeword-context tier
+    # (1 = byte-hash identities, 2 = in-model letter-identity decode)
+    want_wrtw = (int(os.environ.get("WRTW_ROUTE", "1"))
+                 if (flags & _FLAG_WRT) and d is not None else 0)
     prev_gates = engine.gates_blob()
     if engine.update_gates({"JPEGX": want_jpegx, "GRID2": want_grid2,
                             "JVAL": 2 * want_jpegx,
