@@ -55,9 +55,11 @@ def main():
     # bpb (r5 A1e: 1.226 @ 0.0708 vs 1.219 @ 0.0665 at L8) -- measured
     # under the 1.23 quality bar.  The quality default stays L8.
     import cmix_tpu.engine as _engine
-    _engine.update_gates({"DMC_LEVELS": 7})
+    _engine.update_gates({"DMC_LEVELS": int(os.environ.get("BDMC_L", 7))})
     cfg = EngineConfig(block_size=1 << 14, tbits=18, mbits=18, ibits=16,
-                       lstm_hidden=256, seg_size=2048)
+                       lstm_hidden=256, seg_size=2048,
+                       dmc_nodes=int(os.environ.get("BDMC_N", 16384)),
+                       lstm_horizon=int(os.environ.get("BLSTM_WIN", 8)))
     data = build_corpus(mb=4)
     blocks = _split_blocks(data, cfg.block_size)
     b = blocks.shape[0]

@@ -257,10 +257,22 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     # (1 = byte-hash identities, 2 = in-model letter-identity decode)
     want_wrtw = (int(os.environ.get("WRTW_ROUTE", "1"))
                  if (flags & _FLAG_WRT) and d is not None else 0)
+    # - LMS: the strided adaptive linear predictor (the audio-LPC /
+    #   pixel-row capability class of paq8's audioModel, paq8.cpp:
+    #   5806-5869).  At LMS=2 it is hard-gated to media-kind blocks
+    #   (engine lms_med), so routing it on costs nothing outside media
+    #   and helped every media probe (photo/terrain 0.3688 -> 0.3679
+    #   with GRID2+LMS2, r3) -- on exactly when a media-class segment
+    #   (SEG_IMG24/IMG8/AUDIO/JPEG*) exists.
+    #   (The portable integer profile excludes the float LMS; engine
+    #   rejects PORT+LMS, so the route stays off there.)
+    want_lms = 2 if (not engine.PORT and seg_meta is not None and any(
+        3 <= e[0] <= 7 and e[1] for e in seg_meta)) else 0
     prev_gates = engine.gates_blob()
     if engine.update_gates({"JPEGX": want_jpegx, "GRID2": want_grid2,
                             "JVAL": 2 * want_jpegx,
-                            "X86X": want_x86, "WRTW": want_wrtw}):
+                            "X86X": want_x86, "WRTW": want_wrtw,
+                            "LMS": want_lms}):
         _TRANSCODER_CACHE.clear()
     try:
         if d is not None:

@@ -30,7 +30,7 @@ def main():
     tp = int(os.environ.get("TP", 1))
     tbits = int(os.environ.get("TBITS", 22))
     nbytes = int(os.environ.get("NBYTES", 1 << 20))
-    data = open("/root/repo/testdata/nat1m.raw", "rb").read()[:nbytes]
+    data = open("/root/repo/testdata/nat1m.raw" if os.path.exists("/root/repo/testdata/nat1m.raw") else "/root/repo/testdata/text100k.raw", "rb").read()[:nbytes]
     cfg = EngineConfig(block_size=1 << 17, tbits=tbits, mbits=20,
                        ibits=18, pbits=22, lstm_hidden=256, seg_size=2048)
     blocks = _split_blocks(data, cfg.block_size)
