@@ -269,8 +269,14 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     want_lms = 2 if (not engine.PORT and seg_meta is not None and any(
         3 <= e[0] <= 7 and e[1] for e in seg_meta)) else 0
     prev_gates = engine.gates_blob()
+    # - JVAL: the coefficient-value distributions measured NEUTRAL-to-
+    #   negative on the JPEG probe at both tiers (r5 A5/C6: 0.9266 /
+    #   0.9265 routed vs 0.9260 without) -- the 8 hashed JPEGX contexts
+    #   already cover the value structure at this scale.  Route stays
+    #   off; the model remains available via JVAL_ROUTE for probes.
+    want_jval = int(os.environ.get("JVAL_ROUTE", "0")) * want_jpegx
     if engine.update_gates({"JPEGX": want_jpegx, "GRID2": want_grid2,
-                            "JVAL": 2 * want_jpegx,
+                            "JVAL": want_jval,
                             "X86X": want_x86, "WRTW": want_wrtw,
                             "LMS": want_lms}):
         _TRANSCODER_CACHE.clear()
