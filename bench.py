@@ -50,16 +50,27 @@ def main():
     from cmix_tpu.runner import get_transcoder, _group_state, _split_blocks
 
     log(f"devices: {jax.devices()}")
-    # Bench profile: DMC_LEVELS=7 trims the DMC kernel's serial fetch
-    # chain (383 -> 191 fetches/block) for +6.5% throughput at +0.6%
-    # bpb (r5 A1e: 1.226 @ 0.0708 vs 1.219 @ 0.0665 at L8) -- measured
-    # under the 1.23 quality bar.  The quality default stays L8.
+    # Bench SPEED PROFILE (r5-measured; each lever documented):
+    # - DMC_LEVELS=7 trims the DMC kernel's serial fetch chain
+    #   (383 -> 191 fetches/block): +6.5% at +0.6% bpb (A1e).
+    # - lstm_horizon=4 halves the BPTT window: +3% at +0.16% bpb (Cz2)
+    #   (and is the v19 quality default too -- it WINS ratio at
+    #   quality configs, Cz3).
+    # - The v19 quality-default adoptions PPM_CK/PPM_DEEP/BANK_CH=3/
+    #   CTX4 are pinned OFF here: at the bench's tbits=18 tables they
+    #   cost ~7-10% speed with no measurable bpb return (A1d); the
+    #   bench measures the throughput point of the frontier, and this
+    #   block is the recorded definition of that point.
     import cmix_tpu.engine as _engine
-    _engine.update_gates({"DMC_LEVELS": int(os.environ.get("BDMC_L", 7))})
+    _engine.update_gates({"DMC_LEVELS": int(os.environ.get("BDMC_L", 7)),
+                          "PPM_CK": int(os.environ.get("BPPM_CK", 0)),
+                          "PPM_DEEP": int(os.environ.get("BPPM_DEEP", 0)),
+                          "BANK_CH": int(os.environ.get("BBANK_CH", 1)),
+                          "CTX4": int(os.environ.get("BCTX4", 0))})
     cfg = EngineConfig(block_size=1 << 14, tbits=18, mbits=18, ibits=16,
                        lstm_hidden=256, seg_size=2048,
                        dmc_nodes=int(os.environ.get("BDMC_N", 16384)),
-                       lstm_horizon=int(os.environ.get("BLSTM_WIN", 8)))
+                       lstm_horizon=int(os.environ.get("BLSTM_WIN", 4)))
     data = build_corpus(mb=4)
     blocks = _split_blocks(data, cfg.block_size)
     b = blocks.shape[0]

@@ -93,12 +93,12 @@ _GATE_SPEC = (
     ("CMIX_PPM_ORDERS", str, "1,2,3,4,5,6,8,10,12,16,20,24"),
     ("PPM_EXCL", int, "1"),
     ("PPM_UPD", int, "1"),
-    ("PPM_CK", int, "0"),   # checksummed PPM rows: a mismatched row is
+    ("PPM_CK", int, "1"),   # checksummed PPM rows: a mismatched row is
     #                         read as empty and replaced at update --
     #                         kills hash aliasing, the hashed-table
     #                         answer to mod_ppmd's exact suffix tree
     #                         (src/models/ppmd.cpp:119-348)
-    ("PPM_DEEP", int, "0"),  # orders 32/48 from rolling window hashes
+    ("PPM_DEEP", int, "1"),  # orders 32/48 from rolling window hashes
     #                          (past ohash's 24) -- deep-context reach
     #                          toward mod_ppmd's order 25 + long arena
     ("BANK_CK", int, "2"),
@@ -135,11 +135,11 @@ _GATE_SPEC = (
     #                        contexts
     ("CTX2", int, "1"),    # r3 probe: text -0.15%
     ("CTX3", int, "1"),    # 8 more width contexts; r4 W1/W8: small win
-    ("CTX4", int, "0"),    # r5 width tier: stem cross, class-mask o8,
+    ("CTX4", int, "1"),    # r5 width tier: stem cross, class-mask o8,
     #                        DISTANCE model (paq8.cpp:4598), word-bigram
     #                        x byte, folded o4, vowel shape, tag x word,
     #                        bracket x word
-    ("BANK_CH", int, "1"),
+    ("BANK_CH", int, "3"),
     ("RUNX", int, "1"),
     ("RUNX_N", int, "64"),   # run channels across the whole bank (r4 W2)
     ("MIX_DYN2", int, "1"),
@@ -620,7 +620,7 @@ class EngineConfig:
     pbits: int = 20             # log2 byte slots per PPM order table
     lstm_hidden: int = 256      # 0 disables the LSTM byte mixer
     lstm_layers: int = 2        # stacked LSTM layers
-    lstm_horizon: int = 8       # truncated-BPTT window (1 = one-step)
+    lstm_horizon: int = 4       # truncated-BPTT window (1 = one-step)
     dmc_nodes: int = 16384      # DMC pool per block; 0 disables
     seg_size: int = 4096        # bytes per device execution segment
 

@@ -263,11 +263,14 @@ def compress(data: bytes, cfg: EngineConfig = EngineConfig(),
     #   (engine lms_med), so routing it on costs nothing outside media
     #   and helped every media probe (photo/terrain 0.3688 -> 0.3679
     #   with GRID2+LMS2, r3) -- on exactly when a media-class segment
-    #   (SEG_IMG24/IMG8/AUDIO/JPEG*) exists.
+    #   (SEG_IMG24/IMG8/AUDIO) exists.  Recoded-JPEG coefficient
+    #   planes are excluded: routing LMS on a pure-JPEG archive
+    #   measured +0.05% (r5 Cz0 0.9265 vs 0.9260) -- the linear
+    #   predictor only misleads on entropy-coded coefficients.
     #   (The portable integer profile excludes the float LMS; engine
     #   rejects PORT+LMS, so the route stays off there.)
     want_lms = 2 if (not engine.PORT and seg_meta is not None and any(
-        3 <= e[0] <= 7 and e[1] for e in seg_meta)) else 0
+        3 <= e[0] <= 5 and e[1] for e in seg_meta)) else 0
     prev_gates = engine.gates_blob()
     # - JVAL: the coefficient-value distributions measured NEUTRAL-to-
     #   negative on the JPEG probe at both tiers (r5 A5/C6: 0.9266 /

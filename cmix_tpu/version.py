@@ -12,5 +12,13 @@ wiring, update rules, or the coder bumps FORMAT_VERSION.
 # non-default gates, so a defaults flip re-keys the meaning of an absent
 # gate -- every such flip MUST bump the version (decode refuses version
 # mismatch, making the incompatibility loud instead of a silent desync).
-FORMAT_VERSION = 18
+# v19 (round 5): PPM_CK 0->1 and PPM_DEEP 0->1 (checksummed PPM rows +
+# order-32/48 window hashes), BANK_CH 1->3 (confidence-weighted and
+# centered-confidence bank channels), CTX4 0->1 (stem-cross/class-mask
+# o8/distance/word-bigram/folded-o4/vowel-shape/tag-x-word/bracket-x-
+# word width tier).  (lstm_horizon's EngineConfig default also moved
+# 8->4, but that is header-carried per archive, not gate-keyed.)
+# Measured: text100k 0.7148 -> 0.7087, exe 2.0041 -> 1.9855, dict
+# 2.4431 -> 2.4283 (r5 Cz3/Cz4).
+FORMAT_VERSION = 19
 MAGIC = b"TCMX"
