@@ -620,7 +620,11 @@ class EngineConfig:
     pbits: int = 20             # log2 byte slots per PPM order table
     lstm_hidden: int = 256      # 0 disables the LSTM byte mixer
     lstm_layers: int = 2        # stacked LSTM layers
-    lstm_horizon: int = 4       # truncated-BPTT window (1 = one-step)
+    lstm_horizon: int = 8       # truncated-BPTT window (1 = one-step).
+    #   WIN=4 wins ~0.3% at 100 KB but costs +1.2% at 1 MiB B=1
+    #   (r5 D1/Db2: the short window starves long-context BPTT at
+    #   scale) -- the quality default stays 8; bench.py pins 4 in
+    #   its recorded speed profile where the cost is +0.16% bpb.
     dmc_nodes: int = 16384      # DMC pool per block; 0 disables
     seg_size: int = 4096        # bytes per device execution segment
 

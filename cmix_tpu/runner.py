@@ -589,6 +589,12 @@ def main(argv=None):
     ap.add_argument("--block-size", type=int, default=1 << 16)
     ap.add_argument("--tbits", type=int, default=18)
     ap.add_argument("--lstm", type=int, default=256)
+    ap.add_argument("--horizon", default="auto",
+                    help="LSTM truncated-BPTT window; 'auto' routes by "
+                    "payload size (4 under 256 KiB, 8 at scale -- r5 "
+                    "C1/Cw vs D1/Db2: the short window wins ~0.3-0.8%% "
+                    "on 100 KB files but costs +1.2%% at 1 MiB).  "
+                    "Header-carried, so decode needs no flag.")
     ap.add_argument("--dmc", type=int, default=16384,
                     help="DMC node pool per block (0 disables)")
     ap.add_argument("--max-batch", type=int, default=64)
@@ -620,8 +626,11 @@ def main(argv=None):
         data = f.read()
     t0 = time.time()
     if args.mode in ("c", "t"):
+        horizon = (int(args.horizon) if args.horizon != "auto"
+                   else (4 if len(data) <= (256 << 10) else 8))
         cfg = EngineConfig(block_size=args.block_size, tbits=args.tbits,
-                           lstm_hidden=args.lstm, dmc_nodes=args.dmc)
+                           lstm_hidden=args.lstm, dmc_nodes=args.dmc,
+                           lstm_horizon=horizon)
         with trace(args.profile):
             out = compress(data, cfg, max_batch=args.max_batch,
                            dictionary=args.dictionary, meter=meter,

@@ -16,8 +16,9 @@ wiring, update rules, or the coder bumps FORMAT_VERSION.
 # order-32/48 window hashes), BANK_CH 1->3 (confidence-weighted and
 # centered-confidence bank channels), CTX4 0->1 (stem-cross/class-mask
 # o8/distance/word-bigram/folded-o4/vowel-shape/tag-x-word/bracket-x-
-# word width tier).  (lstm_horizon's EngineConfig default also moved
-# 8->4, but that is header-carried per archive, not gate-keyed.)
+# word width tier).  (lstm_horizon stays 8: WIN=4 wins at 100 KB but
+# costs +1.2% at 1 MiB B=1, r5 D1/Db2 -- and it is header-carried per
+# archive anyway, not gate-keyed.)
 # Measured: text100k 0.7148 -> 0.7087, exe 2.0041 -> 1.9855, dict
 # 2.4431 -> 2.4283 (r5 Cz3/Cz4).
 FORMAT_VERSION = 19
