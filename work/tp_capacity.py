@@ -31,8 +31,11 @@ def main():
     tbits = int(os.environ.get("TBITS", 22))
     nbytes = int(os.environ.get("NBYTES", 1 << 20))
     data = open("/root/repo/testdata/nat1m.raw" if os.path.exists("/root/repo/testdata/nat1m.raw") else "/root/repo/testdata/text100k.raw", "rb").read()[:nbytes]
-    cfg = EngineConfig(block_size=1 << 17, tbits=tbits, mbits=20,
-                       ibits=18, pbits=22, lstm_hidden=256, seg_size=2048)
+    cfg = EngineConfig(block_size=int(os.environ.get("BLKSZ", 1 << 17)),
+                       tbits=tbits, mbits=int(os.environ.get("MBITS", 20)),
+                       ibits=16, pbits=int(os.environ.get("PBITS", 22)),
+                       lstm_hidden=int(os.environ.get("LSTM_H", 256)),
+                       seg_size=2048)
     blocks = _split_blocks(data, cfg.block_size)
     b = blocks.shape[0]
     t0 = time.time()
